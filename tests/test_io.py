@@ -1,0 +1,101 @@
+"""Tests for the io layer — matches the reference data_IO test contract
+(/root/reference/tests/test_data_IO.py) plus h5 round-trip and sort-order checks."""
+
+import numpy as np
+import pytest
+
+from bayesian_inference_tpu import io
+
+
+def test_observable_matrix_round_trip(test_data_dir):
+    """matrix -> dict -> matrix round trip is exact on the real fixture."""
+    observables = io.read_dict_from_h5(str(test_data_dir), "observables.h5", verbose=False)
+    Y = io.predictions_matrix_from_h5(str(test_data_dir), filename="observables.h5", validation_set=False)
+    Y_dict = io.observable_dict_from_matrix(Y, observables, validation_set=False)
+    Y_round_trip = io.observable_matrix_from_dict(Y_dict)
+    np.testing.assert_allclose(Y, Y_round_trip)
+
+
+def test_h5_dict_round_trip(tmp_path):
+    d = {
+        "a": {"b": np.arange(6.0).reshape(2, 3), "c": np.array([1, 2, 3])},
+        "scalar": np.float64(3.5),
+        "nested": {"deep": {"x": np.ones(4)}},
+        "none_is_dropped": None,
+    }
+    io.write_dict_to_h5(d, str(tmp_path), "t.h5", verbose=False)
+    back = io.read_dict_from_h5(str(tmp_path), "t.h5", verbose=False)
+    np.testing.assert_allclose(back["a"]["b"], d["a"]["b"])
+    np.testing.assert_allclose(back["a"]["c"], d["a"]["c"])
+    np.testing.assert_allclose(back["nested"]["deep"]["x"], d["nested"]["deep"]["x"])
+    assert back["scalar"] == 3.5
+    assert "none_is_dropped" not in back
+
+
+def test_h5_modify_semantics(tmp_path):
+    io.write_dict_to_h5({"a": np.array([1.0]), "b": np.array([2.0])}, str(tmp_path), "t.h5", verbose=False)
+    io.write_dict_to_h5({"a": np.array([9.0, 9.0])}, str(tmp_path), "t.h5", verbose=False)
+    back = io.read_dict_from_h5(str(tmp_path), "t.h5", verbose=False)
+    np.testing.assert_allclose(back["a"], [9.0, 9.0])
+    np.testing.assert_allclose(back["b"], [2.0])
+
+
+def test_sort_order_precedence():
+    labels = [
+        "5020__PbPb__jet__pt__sub__0-10",
+        "200__AuAu__jet__pt__sub__0-10",
+        "2760__PbPb__hadron__pt__sub__0-5",
+        "2760__PbPb__jet__Dz__sub__0-10",
+    ]
+    out = io.observables.sort_observable_labels(labels)
+    # observable_type first (hadron < jet), then observable (Dz < pt), then sqrts.
+    assert out == [
+        "2760__PbPb__hadron__pt__sub__0-5",
+        "2760__PbPb__jet__Dz__sub__0-10",
+        "200__AuAu__jet__pt__sub__0-10",
+        "5020__PbPb__jet__pt__sub__0-10",
+    ]
+
+
+def test_observable_filter_globs():
+    f = io.ObservableFilter(include_list=["jet__pt_"], exclude_list=["*atlas*"])
+    assert f.accept_observable("5020__PbPb__inclusive_jet__pt_alice__x__0-10")
+    assert not f.accept_observable("5020__PbPb__inclusive_jet__pt_y_atlas__x__0-10")
+    assert not f.accept_observable("5020__PbPb__hadron__pt_ch__x__0-10")
+    g = io.ObservableFilter(include_list=["*zg_*"])
+    assert g.accept_observable("5020__PbPb__chjet__zg_alice__x__0-10")
+
+
+@pytest.mark.parametrize(
+    "design_points_to_exclude", [[17, 43, 203], []], ids=["exclude", "no_exclude"]
+)
+@pytest.mark.parametrize("parameterization", ["test1", "test2"], ids=["continuous", "discontinuous"])
+def test_exclude_design_points(test_data_dir, design_points_to_exclude, parameterization):
+    """Index-vs-design-point-id bookkeeping with missing points and exclusions."""
+    from bayesian_inference_tpu.io import tables
+
+    read_params = np.loadtxt(test_data_dir / "tables" / "Design" / f"Design__{parameterization}.dat", ndmin=2)
+    n_missing = 0 if parameterization == "test1" else 2
+    assert read_params.shape == (230 - n_missing, 6)
+
+    ids = tables.read_design_points_from_design_dat(test_data_dir / "tables", parameterization)
+    train_idx, train_ids, val_idx, val_ids = tables.split_training_validation_indices(
+        design_points=ids,
+        validation_indices=list(range(200, 230)),
+        design_points_to_exclude=design_points_to_exclude,
+    )
+
+    train_params = read_params[train_idx]
+    val_params = read_params[val_idx]
+
+    excl_main = [i for i in design_points_to_exclude if i < 200]
+    excl_val = [i for i in design_points_to_exclude if i >= 200]
+    assert train_params.shape == (200 - len(excl_main) - n_missing, 6)
+    assert val_params.shape == (30 - len(excl_val), 6)
+
+    for excluded_point in design_points_to_exclude:
+        assert excluded_point not in train_ids
+        assert excluded_point not in val_ids
+        values = list(range(excluded_point * 6, excluded_point * 6 + 6))
+        assert values not in train_params
+        assert values not in val_params
