@@ -27,11 +27,18 @@ def test_pca_matches_sklearn(Y):
 
     np.testing.assert_allclose(np.asarray(state.mean), scaler.mean_, rtol=1e-10)
     np.testing.assert_allclose(np.asarray(state.scale), scaler.scale_, rtol=1e-10)
-    np.testing.assert_allclose(np.asarray(state.components), sk_pca.components_, rtol=0, atol=1e-8)
+    # Centering makes the data rank n_samples-1: the final component spans the
+    # numerical null space and is arbitrary (sv ~ 1e-14), so compare only the
+    # numerically determined components.
+    rank = int(np.sum(sk_pca.singular_values_ > 1e-8))
+    assert rank == Y.shape[0] - 1
     np.testing.assert_allclose(
-        np.asarray(state.explained_variance), sk_pca.explained_variance_, rtol=1e-8
+        np.asarray(state.components)[:rank], sk_pca.components_[:rank], rtol=0, atol=1e-8
     )
-    np.testing.assert_allclose(np.asarray(Y_pca), Y_pca_ref, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(state.explained_variance)[:rank], sk_pca.explained_variance_[:rank], rtol=1e-8
+    )
+    np.testing.assert_allclose(np.asarray(Y_pca)[:, :rank], Y_pca_ref[:, :rank], rtol=0, atol=1e-7)
 
 
 def test_pca_truncated_reconstruction_matches_sklearn(Y):
