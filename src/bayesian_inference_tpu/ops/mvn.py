@@ -1,0 +1,89 @@
+"""Batched multivariate-normal log-likelihood: dense and Woodbury low-rank.
+
+The dense path replaces the reference's per-sample LAPACK dpotrf/dpotrs loop
+(log_posterior.py:104-146) with one batched on-chip Cholesky.
+
+The Woodbury path exploits the structure the reference leaves on the table
+(noted at emulation.py:521): the MCMC covariance is
+
+    C(theta) = D + U diag(v(theta)) U^T
+
+where D = Sigma_unexplained + diag(sigma_data^2) is a *constant* dense matrix
+and U = (components^T * scale) has only k = n_pc columns. A one-time Cholesky
+of D reduces every per-walker likelihood from O(n_features^3) to O(n_pc^3) --
+~100x fewer flops at production shapes (n_features ~ 200, n_pc ~ 5-41) with
+bit-comparable results (it is an exact identity, not an approximation).
+
+Matching the reference likelihood normalization: logp = -1/2 y^T C^-1 y
+- 1/2 log det C (the -n/2 log 2pi constant is dropped; it cancels in MCMC).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+def mvn_loglike_dense(dY: jax.Array, cov: jax.Array) -> jax.Array:
+    """Unnormalized MVN loglike for batched (B, F) residuals and (B, F, F) covariances."""
+    L = jnp.linalg.cholesky(cov)
+    alpha = jax.scipy.linalg.cho_solve((L, True), dY[..., None])[..., 0]
+    quad = jnp.sum(dY * alpha, axis=-1)
+    half_logdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    return -0.5 * quad - half_logdet
+
+
+@struct.dataclass
+class WoodburyNormal:
+    """Precomputed pieces of the low-rank-plus-constant Gaussian likelihood.
+
+    With e0 = L_D^{-1} d0 (d0 = constant part of the residual) and
+    W = L_D^{-1} U:
+
+      quad(z, v) = c0 + 2 b.z + z.G.z - (b + G z)^T (diag(1/v) + G)^{-1} (b + G z)
+      logdet(v)  = 2*half_logdet_D + sum(log v) + logdet(diag(1/v) + G)
+    """
+
+    b: jax.Array             # (k,)    W^T e0
+    G: jax.Array             # (k, k)  W^T W = U^T D^-1 U
+    c0: jax.Array            # ()      e0^T e0
+    half_logdet_D: jax.Array # ()
+    U: jax.Array             # (F, k)  kept for mean reconstruction / diagnostics
+    d0: jax.Array            # (F,)    constant residual offset (m0 - y_data)
+
+
+def build_woodbury(D: jax.Array, U: jax.Array, d0: jax.Array) -> WoodburyNormal:
+    """One-time O(F^3) setup; everything per-walker afterwards is O(k^3)."""
+    L_D = jnp.linalg.cholesky(D)
+    e0 = jax.scipy.linalg.solve_triangular(L_D, d0, lower=True)
+    W = jax.scipy.linalg.solve_triangular(L_D, U, lower=True)
+    return WoodburyNormal(
+        b=W.T @ e0,
+        G=W.T @ W,
+        c0=e0 @ e0,
+        half_logdet_D=jnp.sum(jnp.log(jnp.diagonal(L_D))),
+        U=U,
+        d0=d0,
+    )
+
+
+def woodbury_loglike(wn: WoodburyNormal, z: jax.Array, v: jax.Array) -> jax.Array:
+    """Batched loglike; z, v of shape (..., k): PC-space means and variances."""
+    k = wn.G.shape[0]
+    M = wn.G + jnp.einsum("...k,kj->...kj", 1.0 / v, jnp.eye(k, dtype=v.dtype))
+    r = wn.b + jnp.einsum("ij,...j->...i", wn.G, z)
+    L_M = jnp.linalg.cholesky(M)
+    t = jax.scipy.linalg.solve_triangular(L_M, r[..., None], lower=True)[..., 0]
+    quad = (
+        wn.c0
+        + 2.0 * jnp.einsum("k,...k->...", wn.b, z)
+        + jnp.einsum("...i,ij,...j->...", z, wn.G, z)
+        - jnp.sum(t * t, axis=-1)
+    )
+    logdet = (
+        2.0 * wn.half_logdet_D
+        + jnp.sum(jnp.log(v), axis=-1)
+        + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_M, axis1=-2, axis2=-1)), axis=-1)
+    )
+    return -0.5 * (quad + logdet)
