@@ -1,0 +1,99 @@
+"""Gaussian-process regression: log-marginal likelihood, posterior predict.
+
+From-scratch replacement for sklearn.gaussian_process.GaussianProcessRegressor
+(reference emulation.py:164-178, 496-499). One GP per principal component; all
+states stack on a leading axis so fit and predict are single vmapped XLA
+launches across PCs (and restarts during fit).
+
+Conventions match sklearn (normalize_y=False):
+  LML(theta_h) = -1/2 y^T K^-1 y - sum(log diag L) - n/2 log 2pi,
+  K = kernel(X) + alpha * I
+  predict mean = k*^T K^-1 y ; var = kernel.diag - ||L^-1 k*||^2 (clipped at 0)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from bayesian_inference_tpu.ops.gram import (
+    KernelConfig,
+    KernelParams,
+    cross_covariance,
+    prior_variance,
+    train_gram,
+)
+
+_LOG_2PI = 1.8378770664093453
+
+
+def log_marginal_likelihood(
+    cfg: KernelConfig,
+    params: KernelParams,
+    X: jax.Array,
+    y: jax.Array,
+    alpha_jitter: float,
+) -> jax.Array:
+    """LML for one GP. Differentiable in ``params``; vmap over a stacked axis."""
+    K = train_gram(cfg, params, X, alpha_jitter)
+    L = jnp.linalg.cholesky(K)
+    a = jax.scipy.linalg.cho_solve((L, True), y)
+    n = y.shape[0]
+    return -0.5 * (y @ a) - jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * n * _LOG_2PI
+
+
+@struct.dataclass
+class GPPosterior:
+    """Cached factorization for fast batched prediction.
+
+    ``Kinv`` is materialized (not just L) so the per-sample predictive variance
+    k** - k*^T Kinv k* is a pure batched matmul in the MCMC hot loop.
+    """
+
+    params: KernelParams
+    X: jax.Array          # (N, d) training inputs
+    alpha: jax.Array      # (N,)   K^-1 y
+    Kinv: jax.Array       # (N, N)
+    prior_var: jax.Array  # ()     kernel.diag value (constant for stationary kernels)
+    lml: jax.Array        # ()     LML at the fitted hyperparameters
+
+
+def posterior_from_params(
+    cfg: KernelConfig,
+    params: KernelParams,
+    X: jax.Array,
+    y: jax.Array,
+    alpha_jitter: float,
+) -> GPPosterior:
+    K = train_gram(cfg, params, X, alpha_jitter)
+    L = jnp.linalg.cholesky(K)
+    alpha = jax.scipy.linalg.cho_solve((L, True), y)
+    n = y.shape[0]
+    lml = -0.5 * (y @ alpha) - jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * n * _LOG_2PI
+    Kinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(n, dtype=K.dtype))
+    return GPPosterior(
+        params=params,
+        X=X,
+        alpha=alpha,
+        Kinv=Kinv,
+        prior_var=prior_variance(cfg, params, dtype=K.dtype),
+        lml=lml,
+    )
+
+
+def predict(cfg: KernelConfig, post: GPPosterior, theta: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Posterior mean and variance at ``theta`` (B, d) for one GP -> ((B,), (B,)).
+
+    vmap over stacked GPPosterior for the all-PCs version.
+    """
+    ks = cross_covariance(cfg, post.params, theta, post.X)  # (B, N)
+    mean = ks @ post.alpha
+    var = post.prior_var - jnp.sum((ks @ post.Kinv) * ks, axis=-1)
+    return mean, jnp.maximum(var, 0.0)
+
+
+def predict_all(cfg: KernelConfig, posts: GPPosterior, theta: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Batched over stacked GPs: posts has leading axis k; returns ((B, k), (B, k))."""
+    mean, var = jax.vmap(lambda p: predict(cfg, p, theta))(posts)
+    return mean.T, var.T

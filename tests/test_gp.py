@@ -1,0 +1,127 @@
+"""GP parity vs sklearn GaussianProcessRegressor on the real fixture."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bayesian_inference_tpu import io
+from bayesian_inference_tpu.models import pca as pca_mod
+from bayesian_inference_tpu.models import gp as gp_mod
+from bayesian_inference_tpu.models import gp_fit
+from bayesian_inference_tpu.ops.gram import KernelConfig, KernelParams
+
+_data_dir = Path(__file__).parent / "test_data"
+
+
+@pytest.fixture(scope="module")
+def design_and_pcs():
+    Y = io.predictions_matrix_from_h5(str(_data_dir), filename="observables.h5")
+    design = io.design_array_from_h5(str(_data_dir), filename="observables.h5")
+    _, Y_pca = pca_mod.fit_pca(Y)
+    return np.asarray(design), np.asarray(Y_pca)
+
+
+def _sk_gpr(ls, noise, X, y, optimize=False, n_restarts=0):
+    import sklearn.gaussian_process as skg
+    import sklearn.gaussian_process.kernels as skk
+
+    kernel = skk.Matern(
+        length_scale=ls, nu=1.5, length_scale_bounds=np.outer(ls, (0.01, 100.0))
+    ) + skk.WhiteKernel(noise_level=noise, noise_level_bounds=(1e-4, 1.0))
+    return skg.GaussianProcessRegressor(
+        kernel=kernel,
+        alpha=1e-10,
+        optimizer="fmin_l_bfgs_b" if optimize else None,
+        n_restarts_optimizer=n_restarts,
+        copy_X_train=False,
+    ).fit(X, y)
+
+
+def test_lml_matches_sklearn(design_and_pcs):
+    X, Y_pca = design_and_pcs
+    y = Y_pca[:, 0]
+    ls = X.max(axis=0) - X.min(axis=0)
+    gpr = _sk_gpr(ls, 0.25, X, y, optimize=False)
+    ref = gpr.log_marginal_likelihood_value_
+
+    cfg = KernelConfig(nu=1.5, with_noise=True)
+    params = KernelParams.create(ls, noise=0.25)
+    ours = float(
+        gp_mod.log_marginal_likelihood(cfg, params, jnp.asarray(X), jnp.asarray(y), 1e-10)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+
+def test_predict_matches_sklearn(design_and_pcs):
+    X, Y_pca = design_and_pcs
+    y = Y_pca[:, 1]
+    ls = 0.7 * (X.max(axis=0) - X.min(axis=0))
+    gpr = _sk_gpr(ls, 0.1, X, y, optimize=False)
+
+    theta = X[:17] * 0.95 + 0.01
+    ref_mean, ref_std = gpr.predict(theta, return_std=True)
+
+    cfg = KernelConfig(nu=1.5, with_noise=True)
+    params = KernelParams.create(ls, noise=0.1)
+    post = gp_mod.posterior_from_params(cfg, params, jnp.asarray(X), jnp.asarray(y), 1e-10)
+    mean, var = gp_mod.predict(cfg, post, jnp.asarray(theta))
+
+    np.testing.assert_allclose(np.asarray(mean), ref_mean, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(np.sqrt(var)), ref_std, rtol=1e-6, atol=1e-9)
+
+
+def test_predict_all_stacks(design_and_pcs):
+    X, Y_pca = design_and_pcs
+    k = 3
+    ls = X.max(axis=0) - X.min(axis=0)
+    cfg = KernelConfig(nu=1.5, with_noise=True)
+    params = KernelParams.create(ls, noise=0.25)
+    posts = jax.vmap(
+        lambda y: gp_mod.posterior_from_params(cfg, params, jnp.asarray(X), y, 1e-10)
+    )(jnp.asarray(Y_pca[:, :k].T))
+    theta = jnp.asarray(X[:5])
+    mean, var = gp_mod.predict_all(cfg, posts, theta)
+    assert mean.shape == (5, k) and var.shape == (5, k)
+    # cross-check one column against the single-GP path
+    post0 = gp_mod.posterior_from_params(cfg, params, jnp.asarray(X), jnp.asarray(Y_pca[:, 0]), 1e-10)
+    m0, v0 = gp_mod.predict(cfg, post0, theta)
+    np.testing.assert_allclose(np.asarray(mean[:, 0]), np.asarray(m0), rtol=1e-12)
+
+
+def test_fit_beats_or_matches_sklearn_lml(design_and_pcs):
+    """Optimizer parity: our vmapped multi-restart fit must reach an LML at
+    least as good as sklearn's L-BFGS-B (small tolerance for boundary optima)."""
+    X, Y_pca = design_and_pcs
+    # Subsample for CPU test speed
+    X, y = X[:80], Y_pca[:80, 0]
+    ls0 = X.max(axis=0) - X.min(axis=0)
+
+    gpr = _sk_gpr(ls0, 0.25, X, y, optimize=True, n_restarts=3)
+    ref_lml = gpr.log_marginal_likelihood_value_
+
+    cfg = KernelConfig(nu=1.5, with_noise=True)
+    spec = gp_fit.spec_from_reference_config(
+        cfg,
+        param_min=X.min(axis=0),
+        param_max=X.max(axis=0),
+        n_restarts=6,
+        n_iters=80,
+        alpha_jitter=1e-10,
+    )
+    posts = gp_fit.fit_gps(spec, jnp.asarray(X), jnp.asarray(y)[:, None], jax.random.key(0))
+    ours = float(posts.lml[0])
+    assert ours >= ref_lml - max(0.02 * abs(ref_lml), 0.5), (ours, ref_lml)
+
+
+def test_pack_unpack_roundtrip():
+    cfg = KernelConfig(nu=1.5, with_noise=True, with_constant=True)
+    params = KernelParams.create(np.array([1.0, 2.0, 3.0]), noise=0.3, constant=1.7)
+    flat = gp_fit.pack_params(cfg, params)
+    assert flat.shape == (5,)
+    back = gp_fit.unpack_params(cfg, flat, 3)
+    np.testing.assert_allclose(np.asarray(back.log_length_scale), np.asarray(params.log_length_scale))
+    np.testing.assert_allclose(float(back.log_noise), float(params.log_noise))
+    np.testing.assert_allclose(float(back.log_constant), float(params.log_constant))
