@@ -1,0 +1,334 @@
+"""Emulator stack: per-group PCA + GP fit, persistence, group-merged prediction.
+
+Replaces reference emulation.py. Each emulation group (disjoint observable
+subset) gets its own scaler+PCA and one GP per retained principal component;
+groups are fit in a single device launch each (PCs x restarts vmapped) and
+merged predictions follow the reference's slice/block-diagonal convention:
+
+  - central values: group blocks inserted at the globally-sorted feature slices
+  - covariance: per-OBSERVABLE diagonal blocks only (the reference's
+    SortEmulationGroupObservables.convert, emulation.py:346-406, discards
+    cross-observable covariance at merge; we preserve that contract, and the
+    MCMC likelihood exploits it -- see mcmc/likelihood.py)
+
+Artifacts are plain dicts of numpy arrays pickled to the reference filenames
+(emulation.pkl / emulation_group_<name>.pkl).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from typing import Any
+
+import attrs
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.typing as npt
+
+from bayesian_inference_tpu.io import hdf5, observables as obs_io
+from bayesian_inference_tpu.models import gp as gp_mod
+from bayesian_inference_tpu.models import gp_fit
+from bayesian_inference_tpu.models import pca as pca_mod
+from bayesian_inference_tpu.ops.gram import KernelConfig, KernelParams
+from bayesian_inference_tpu.pipeline.configs import EmulationConfig, EmulationGroupConfig
+
+logger = logging.getLogger(__name__)
+
+
+# --------------------------------------------------------------------------------------
+# Fit + persistence
+# --------------------------------------------------------------------------------------
+
+def fit_emulator_group(
+    config: EmulationGroupConfig,
+    seed: int = 0,
+    n_opt_iters: int = 100,
+) -> dict[str, Any]:
+    """PCA + vmapped GP fit for one emulation group; returns the artifact dict.
+
+    Returns {} when the output file already exists and force_retrain is False
+    (reference skip-if-exists gate, emulation.py:63-70).
+    """
+    if os.path.exists(config.emulation_outputfile):
+        if config.force_retrain:
+            os.remove(config.emulation_outputfile)
+            logger.info(f"Removed {config.emulation_outputfile}")
+        else:
+            logger.info(f"Emulators already exist: {config.emulation_outputfile}")
+            return {}
+
+    Y = obs_io.predictions_matrix_from_h5(
+        config.output_dir, filename=config.observables_filename, observable_filter=config.observable_filter
+    )
+    state, Y_pca = pca_mod.fit_pca(jnp.asarray(Y), max_n_components=config.max_n_components_to_calculate)
+    n_pc = config.n_pc
+    Y_pca_truncated = Y_pca[:, :n_pc]
+    Y_recon = Y_pca_truncated @ state.components[:n_pc]
+    Y_recon_unscaled = state.unscale_features(Y_recon)
+    evr = np.asarray(state.explained_variance_ratio)
+    logger.info(f"Variance explained by first {n_pc} components: {evr[:n_pc].sum()}")
+
+    design = obs_io.design_array_from_h5(config.output_dir, filename=config.observables_filename)
+
+    spec = config.fit_spec(n_iters=n_opt_iters)
+    logger.info(f"Fitting {n_pc} GPs x {spec.n_restarts + 1} restarts (design: {design.shape})...")
+    posts = gp_fit.fit_gps(
+        spec, jnp.asarray(design, Y_pca_truncated.dtype), Y_pca_truncated, jax.random.key(seed)
+    )
+    for i, lml in enumerate(np.asarray(posts.lml)):
+        params = jax.tree.map(lambda x, i=i: np.asarray(x[i]), posts.params)
+        logger.info(
+            f"  PC {i}: LML={lml:.3f} ls={np.exp(params.log_length_scale).round(3)}"
+            f" noise={np.exp(params.log_noise):.4f}"
+        )
+
+    cfg = config.kernel_config()
+    artifact: dict[str, Any] = {
+        "PCA": {
+            "Y": np.asarray(Y),
+            "Y_pca": np.asarray(Y_pca),
+            "Y_pca_truncated": np.asarray(Y_pca_truncated),
+            "Y_reconstructed_truncated": np.asarray(Y_recon),
+            "Y_reconstructed_truncated_unscaled": np.asarray(Y_recon_unscaled),
+            **{k: np.asarray(v) for k, v in state.to_host_dict().items()},
+        },
+        "emulators": {
+            "kernel": {"nu": cfg.nu, "with_noise": cfg.with_noise, "with_constant": cfg.with_constant},
+            "alpha_jitter": config.alpha,
+            "X": np.asarray(design),
+            "params": {
+                "log_length_scale": np.asarray(posts.params.log_length_scale),
+                "log_noise": np.asarray(posts.params.log_noise),
+                "log_constant": np.asarray(posts.params.log_constant),
+            },
+            "alpha": np.asarray(posts.alpha),
+            "Kinv": np.asarray(posts.Kinv),
+            "prior_var": np.asarray(posts.prior_var),
+            "lml": np.asarray(posts.lml),
+        },
+        "n_pc": n_pc,
+    }
+    return artifact
+
+
+def fit_emulators(emulation_config: EmulationConfig, seed: int = 0, n_opt_iters: int = 100) -> None:
+    """Fit and persist every emulation group (reference fit_emulators, emulation.py:38-50)."""
+    for name, group_config in emulation_config.emulation_groups_config.items():
+        artifact = fit_emulator_group(group_config, seed=seed, n_opt_iters=n_opt_iters)
+        if artifact:
+            write_emulators(group_config, artifact)
+
+
+def write_emulators(config: EmulationGroupConfig, artifact: dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(config.emulation_outputfile), exist_ok=True)
+    with open(config.emulation_outputfile, "wb") as f:
+        pickle.dump(artifact, f)
+
+
+def read_emulators(config: EmulationGroupConfig) -> dict[str, Any]:
+    with open(config.emulation_outputfile, "rb") as f:
+        return pickle.load(f)
+
+
+def posterior_from_artifact(artifact: dict[str, Any]) -> tuple[KernelConfig, gp_mod.GPPosterior]:
+    """Rehydrate the stacked GPPosterior (leading axis = PC) from a host artifact."""
+    em = artifact["emulators"]
+    cfg = KernelConfig(**em["kernel"])
+    k = em["alpha"].shape[0]
+    posts = gp_mod.GPPosterior(
+        params=KernelParams(
+            log_length_scale=jnp.asarray(em["params"]["log_length_scale"]),
+            log_noise=jnp.asarray(em["params"]["log_noise"]),
+            log_constant=jnp.asarray(em["params"]["log_constant"]),
+        ),
+        X=jnp.broadcast_to(jnp.asarray(em["X"]), (k, *em["X"].shape)),
+        alpha=jnp.asarray(em["alpha"]),
+        Kinv=jnp.asarray(em["Kinv"]),
+        prior_var=jnp.asarray(em["prior_var"]),
+        lml=jnp.asarray(em["lml"]),
+    )
+    return cfg, posts
+
+
+def pca_state_from_artifact(artifact: dict[str, Any]) -> pca_mod.PCAState:
+    p = artifact["PCA"]
+    return pca_mod.PCAState(
+        mean=jnp.asarray(p["mean"]),
+        scale=jnp.asarray(p["scale"]),
+        components=jnp.asarray(p["components"]),
+        explained_variance=jnp.asarray(p["explained_variance"]),
+        explained_variance_ratio=jnp.asarray(p["explained_variance_ratio"]),
+        singular_values=jnp.asarray(p["singular_values"]),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# Truncation covariance
+# --------------------------------------------------------------------------------------
+
+def compute_emulator_group_cov_unexplained(
+    emulation_group_config: EmulationGroupConfig, emulation_group_result: dict[str, Any]
+) -> npt.NDArray[np.float64]:
+    """Sigma_unexplained in *scaled* feature space (eqs 21-22 of arXiv:2102.11337;
+    reference emulation.py:227-251)."""
+    state = pca_state_from_artifact(emulation_group_result)
+    return np.asarray(pca_mod.truncation_covariance(state, emulation_group_config.n_pc))
+
+
+def compute_emulator_cov_unexplained(
+    emulation_config: EmulationConfig, emulation_results: dict[str, Any] | None = None
+) -> dict[str, npt.NDArray[np.float64]]:
+    if not emulation_results:
+        emulation_results = emulation_config.read_all_emulator_groups()
+    return {
+        name: compute_emulator_group_cov_unexplained(cfg, emulation_results[name])
+        for name, cfg in emulation_config.emulation_groups_config.items()
+    }
+
+
+# --------------------------------------------------------------------------------------
+# Group -> globally-sorted-observable merge
+# --------------------------------------------------------------------------------------
+
+@attrs.define
+class GroupSliceMap:
+    """Mapping from per-group feature matrices to the globally sorted observable matrix.
+
+    entries: per observable (in global sorted order):
+        (observable_label, group_name, global_slice, group_slice)
+    n_features: total global feature count.
+    """
+
+    entries: list[tuple[str, str, slice, slice]]
+    n_features: int
+
+    @classmethod
+    def learn(cls, emulation_config: EmulationConfig) -> "GroupSliceMap":
+        all_obs = hdf5.read_dict_from_h5(emulation_config.output_dir, "observables.h5", verbose=False)
+        pred = all_obs["Prediction"]
+
+        global_slices: dict[str, slice] = {}
+        pos = 0
+        for label in obs_io.sorted_observable_list_from_dict(pred):
+            n_bins = np.atleast_2d(pred[label]["y"]).shape[0]
+            global_slices[label] = slice(pos, pos + n_bins)
+            pos += n_bins
+
+        by_label: dict[str, tuple[str, slice, slice]] = {}
+        for group_name, group_cfg in emulation_config.emulation_groups_config.items():
+            group_pos = 0
+            for label in obs_io.sorted_observable_list_from_dict(pred, observable_filter=group_cfg.observable_filter):
+                g_slice = global_slices[label]
+                width = g_slice.stop - g_slice.start
+                by_label[label] = (group_name, g_slice, slice(group_pos, group_pos + width))
+                group_pos += width
+
+        entries = [
+            (label, *by_label[label]) for label in global_slices if label in by_label
+        ]
+        return cls(entries=entries, n_features=pos)
+
+    def merge(self, group_matrices: dict[str, dict[str, npt.NDArray]]) -> dict[str, npt.NDArray]:
+        """Merge per-group predictions into global arrays (reference convert()).
+
+        central_value: (B, n_features); cov: block-diagonal per observable,
+        (B, n_features, n_features).
+        """
+        out: dict[str, npt.NDArray] = {}
+        value_types = {vt for g in group_matrices.values() for vt in g}
+
+        if "central_value" in value_types:
+            B = next(iter(group_matrices.values()))["central_value"].shape[0]
+            merged = np.zeros((B, self.n_features))
+            for _, group, g_slice, grp_slice in self.entries:
+                merged[:, g_slice] = group_matrices[group]["central_value"][:, grp_slice]
+            out["central_value"] = merged
+
+        if "cov" in value_types:
+            B = next(iter(group_matrices.values()))["cov"].shape[0]
+            cov = np.zeros((B, self.n_features, self.n_features))
+            for _, group, g_slice, grp_slice in self.entries:
+                cov[:, g_slice, g_slice] = group_matrices[group]["cov"][:, grp_slice, grp_slice]
+            out["cov"] = cov
+        return out
+
+
+# --------------------------------------------------------------------------------------
+# Prediction
+# --------------------------------------------------------------------------------------
+
+def predict_emulation_group(
+    parameters: npt.NDArray[np.float64],
+    results: dict[str, Any],
+    n_pc: int | None = None,
+    emulator_group_cov_unexplained: npt.NDArray[np.float64] | None = None,
+    scale_cov_unexplained_by_n_samples: bool = True,
+) -> dict[str, npt.NDArray[np.float64]]:
+    """Emulator central values + covariance for one group.
+
+    central_value: (B, F) = unscale(z @ S_k) ; cov: (B, F, F) =
+    scale x [S_k diag(v) S_k^T + Sigma_unexplained (/B)] x scale.
+
+    ``scale_cov_unexplained_by_n_samples`` reproduces the reference's division
+    of the truncation covariance by the number of prediction samples
+    (emulation.py:531-532). In the reference's production MCMC each walker is a
+    separate call (B=1), so the likelihood path uses the undivided form; keep
+    the flag True only for API parity with reference batch predictions.
+    """
+    if n_pc is None:
+        n_pc = int(results["n_pc"])
+    cfg, posts = posterior_from_artifact(results)
+    state = pca_state_from_artifact(results)
+    if emulator_group_cov_unexplained is None:
+        emulator_group_cov_unexplained = np.asarray(pca_mod.truncation_covariance(state, n_pc))
+
+    theta = jnp.asarray(parameters, state.components.dtype)
+    z, v = gp_mod.predict_all(cfg, posts, theta)  # (B, k), (B, k)
+    z, v = np.asarray(z), np.asarray(v)
+
+    S_k = np.asarray(state.components[:n_pc])         # (k, F)
+    scale = np.asarray(state.scale)
+    mean = np.asarray(state.unscale_features(jnp.asarray(z @ S_k)))
+
+    B = parameters.shape[0]
+    cov_scaled = np.einsum("fk,bk,gk->bfg", S_k.T, v, S_k.T, optimize=True)
+    sigma = emulator_group_cov_unexplained / B if scale_cov_unexplained_by_n_samples else emulator_group_cov_unexplained
+    cov_scaled += sigma[None, :, :]
+    cov = cov_scaled * np.outer(scale, scale)[None, :, :]
+
+    return {"central_value": mean, "cov": cov}
+
+
+def predict(
+    parameters: npt.NDArray[np.float64],
+    emulation_config: EmulationConfig,
+    merge_predictions_over_groups: bool = True,
+    emulation_group_results: dict[str, dict[str, Any]] | None = None,
+    emulator_cov_unexplained: dict[str, npt.NDArray] | None = None,
+    slice_map: GroupSliceMap | None = None,
+    scale_cov_unexplained_by_n_samples: bool = True,
+) -> dict[str, Any]:
+    """Merged emulator predictions over all groups (reference predict(), emulation.py:410-462)."""
+    if emulation_group_results is None:
+        emulation_group_results = emulation_config.read_all_emulator_groups()
+    if emulator_cov_unexplained is None:
+        emulator_cov_unexplained = compute_emulator_cov_unexplained(emulation_config, emulation_group_results)
+
+    per_group = {
+        name: predict_emulation_group(
+            parameters,
+            emulation_group_results[name],
+            n_pc=cfg.n_pc,
+            emulator_group_cov_unexplained=emulator_cov_unexplained[name],
+            scale_cov_unexplained_by_n_samples=scale_cov_unexplained_by_n_samples,
+        )
+        for name, cfg in emulation_config.emulation_groups_config.items()
+    }
+    if not merge_predictions_over_groups:
+        return per_group
+    if slice_map is None:
+        slice_map = GroupSliceMap.learn(emulation_config)
+    return slice_map.merge(per_group)
