@@ -1,0 +1,189 @@
+"""On-device log-posterior for the emulated Gaussian likelihood.
+
+Replaces the reference's per-walker host loop (log_posterior.py:42-146:
+emulator predict -> dense covariance assembly -> LAPACK dpotrf/dpotrs) with a
+single jitted function evaluating ALL walkers at once on-chip.
+
+Two likelihood structures:
+
+* ``block`` (default — bit-parity with the reference pipeline): the merged
+  emulator covariance is block-diagonal per observable (see models/emulator.py
+  merge notes), so the likelihood decomposes into a sum of small independent
+  MVN terms. We pad observable blocks to a common size and run ONE batched
+  Cholesky over (n_walkers, n_observables, n_b, n_b). At production shapes
+  this is ~50x fewer flops than the reference's dense n_features^3 factorize.
+
+* ``lowrank`` (opt-in improvement): keeps the full PCA-induced cross-observable
+  covariance C(theta) = D + U diag(v(theta)) U^T via the exact Woodbury
+  identity (ops/mvn.py) — O(n_pc^3) per walker. This is the physically more
+  complete model the reference approximates away at group merge.
+
+Uniform box prior: walkers outside [min, max] get -inf (where-masked; the
+likelihood itself is evaluated at box-clipped positions so the Cholesky always
+sees valid covariances).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from bayesian_inference_tpu.models import emulator as emulator_mod
+from bayesian_inference_tpu.models import gp as gp_mod
+from bayesian_inference_tpu.ops.gram import KernelConfig
+from bayesian_inference_tpu.ops.mvn import WoodburyNormal, build_woodbury, mvn_loglike_dense, woodbury_loglike
+
+
+@struct.dataclass
+class GroupGPs:
+    cfg: KernelConfig
+    posts: gp_mod.GPPosterior  # stacked over the group's PCs
+
+
+@struct.dataclass
+class EmulatorLikelihood:
+    """Precomputed state for the jitted log-posterior. mode is static."""
+
+    groups: tuple[GroupGPs, ...]
+    theta_min: jax.Array  # (d,)
+    theta_max: jax.Array  # (d,)
+    # block mode tensors (padded per observable)
+    U: jax.Array   # (n_obs, n_b, k_total)
+    D: jax.Array   # (n_obs, n_b, n_b)  constant covariance part (+ data errors, padded diag=1)
+    d0: jax.Array  # (n_obs, n_b)      constant residual offset (m0 - y), padded 0
+    # lowrank mode tensors
+    wb: WoodburyNormal | None
+    mode: str = struct.field(pytree_node=False, default="block")
+
+    # ----------------------------------------------------------------------------
+    def gp_eval(self, theta: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """PC-space means and variances for all groups, concatenated: (W, k_total)."""
+        zs, vs = [], []
+        for g in self.groups:
+            z, v = gp_mod.predict_all(g.cfg, g.posts, theta)
+            zs.append(z)
+            vs.append(v)
+        return jnp.concatenate(zs, axis=1), jnp.concatenate(vs, axis=1)
+
+    def log_likelihood(self, theta: jax.Array) -> jax.Array:
+        z, v = self.gp_eval(theta)
+        if self.mode == "block":
+            dY = self.d0 + jnp.einsum("bfk,wk->wbf", self.U, z)
+            C = self.D + jnp.einsum("bfk,wk,bgk->wbfg", self.U, v, self.U)
+            ll = mvn_loglike_dense(dY, C)          # (W, n_obs)
+            return jnp.sum(ll, axis=-1)
+        if self.mode == "lowrank":
+            return woodbury_loglike(self.wb, z, v)
+        raise ValueError(f"unknown likelihood mode {self.mode}")
+
+    def log_posterior(self, theta: jax.Array) -> jax.Array:
+        """(W, d) -> (W,). Uniform box prior; -inf outside."""
+        inside = jnp.all((theta > self.theta_min) & (theta < self.theta_max), axis=-1)
+        theta_safe = jnp.clip(theta, self.theta_min, self.theta_max)
+        ll = self.log_likelihood(theta_safe)
+        return jnp.where(inside, ll, -jnp.inf)
+
+
+def build_likelihood(
+    emulation_config,
+    emulation_results: dict[str, dict[str, Any]],
+    experimental_results: dict[str, np.ndarray],
+    theta_min: Sequence[float],
+    theta_max: Sequence[float],
+    emulator_cov_unexplained: dict[str, np.ndarray] | None = None,
+    mode: str = "block",
+    dtype=None,
+) -> EmulatorLikelihood:
+    """Assemble the on-device likelihood from host artifacts.
+
+    The truncation covariance enters UNDIVIDED (the reference's production MCMC
+    evaluates one walker per call, so its /n_samples factor is /1 — see
+    models/emulator.py docstring).
+    """
+    if dtype is None:
+        dtype = jnp.zeros(()).dtype
+    if emulator_cov_unexplained is None:
+        emulator_cov_unexplained = emulator_mod.compute_emulator_cov_unexplained(
+            emulation_config, emulation_results
+        )
+
+    slice_map = emulator_mod.GroupSliceMap.learn(emulation_config)
+    y = np.asarray(experimental_results["y"], float)
+    y_err = np.asarray(experimental_results["y_err"], float)
+    assert y.shape[0] == slice_map.n_features
+
+    # Per-group device GP stacks + host-side reconstruction pieces
+    groups: list[GroupGPs] = []
+    group_names = list(emulation_config.emulation_groups_config)
+    offsets: dict[str, int] = {}
+    U_group: dict[str, np.ndarray] = {}
+    m0_group: dict[str, np.ndarray] = {}
+    sigma_group: dict[str, np.ndarray] = {}
+    k_total = 0
+    for name in group_names:
+        cfg_g = emulation_config.emulation_groups_config[name]
+        art = emulation_results[name]
+        kernel_cfg, posts = emulator_mod.posterior_from_artifact(art)
+        posts = jax.tree.map(lambda x: jnp.asarray(x, dtype), posts)
+        groups.append(GroupGPs(cfg=kernel_cfg, posts=posts))
+
+        n_pc = cfg_g.n_pc
+        S_k = np.asarray(art["PCA"]["components"])[:n_pc]  # (k_g, F_g)
+        scale = np.asarray(art["PCA"]["scale"])
+        mean = np.asarray(art["PCA"]["mean"])
+        U_group[name] = S_k.T * scale[:, None]             # (F_g, k_g): unscaled low-rank factor
+        m0_group[name] = mean
+        sigma_group[name] = emulator_cov_unexplained[name] * np.outer(scale, scale)
+        offsets[name] = k_total
+        k_total += n_pc
+
+    # ---- block-mode padded tensors -------------------------------------------------
+    n_b = max(e[2].stop - e[2].start for e in slice_map.entries)
+    n_obs = len(slice_map.entries)
+    U_pad = np.zeros((n_obs, n_b, k_total))
+    D_pad = np.tile(np.eye(n_b), (n_obs, 1, 1))
+    d0_pad = np.zeros((n_obs, n_b))
+    for i, (label, gname, g_slice, grp_slice) in enumerate(slice_map.entries):
+        w = g_slice.stop - g_slice.start
+        off, k_g = offsets[gname], U_group[gname].shape[1]
+        U_pad[i, :w, off : off + k_g] = U_group[gname][grp_slice]
+        D_pad[i, :w, :w] = sigma_group[gname][grp_slice, grp_slice] + np.diag(y_err[g_slice] ** 2)
+        d0_pad[i, :w] = m0_group[gname][grp_slice] - y[g_slice]
+
+    # ---- lowrank-mode global tensors ---------------------------------------------
+    wb = None
+    if mode == "lowrank":
+        F = slice_map.n_features
+        U_full = np.zeros((F, k_total))
+        D_full = np.diag(y_err**2).astype(float)
+        d0_full = np.zeros(F)
+        for label, gname, g_slice, grp_slice in slice_map.entries:
+            off, k_g = offsets[gname], U_group[gname].shape[1]
+            U_full[g_slice, off : off + k_g] = U_group[gname][grp_slice]
+            d0_full[g_slice] = m0_group[gname][grp_slice] - y[g_slice]
+        # constant part: full per-group truncation covariance at group rows/cols
+        for gname in group_names:
+            rows = [
+                (g_slice, grp_slice)
+                for label, g, g_slice, grp_slice in slice_map.entries
+                if g == gname
+            ]
+            for gs_i, grp_i in rows:
+                for gs_j, grp_j in rows:
+                    D_full[gs_i, gs_j] += sigma_group[gname][grp_i, grp_j]
+        wb = build_woodbury(jnp.asarray(D_full, dtype), jnp.asarray(U_full, dtype), jnp.asarray(d0_full, dtype))
+
+    return EmulatorLikelihood(
+        groups=tuple(groups),
+        theta_min=jnp.asarray(theta_min, dtype),
+        theta_max=jnp.asarray(theta_max, dtype),
+        U=jnp.asarray(U_pad, dtype),
+        D=jnp.asarray(D_pad, dtype),
+        d0=jnp.asarray(d0_pad, dtype),
+        wb=wb,
+        mode=mode,
+    )

@@ -1,0 +1,150 @@
+"""MCMC orchestration: burn-in with top-likelihood walker resampling, on-chip
+production run, artifact output (reference run_mcmc, mcmc.py:34-134).
+
+The whole production chain is one lax.scan launch; the only host round trips
+are at the two burn-in boundaries (matching the reference's resampling logic,
+mcmc.py:93-103) and the final chain download.
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesian_inference_tpu.io import hdf5, observables as obs_io
+from bayesian_inference_tpu.mcmc import stats
+from bayesian_inference_tpu.mcmc.likelihood import build_likelihood
+from bayesian_inference_tpu.mcmc.stretch import run_ensemble
+from bayesian_inference_tpu.pipeline.configs import EmulationConfig, MCMCConfig
+
+logger = logging.getLogger(__name__)
+
+
+def resample_walkers_to_top_positions(
+    chain: np.ndarray, log_prob: np.ndarray, n_walkers: int
+) -> np.ndarray:
+    """Reposition walkers at the top-likelihood unique points of a burn-in chain.
+
+    Matches the reference (mcmc.py:99): flatten, unique log-prob values sorted
+    ascending, take the positions of the last n_walkers.
+    """
+    flat_chain = chain.reshape(-1, chain.shape[-1])
+    flat_logp = log_prob.reshape(-1)
+    _, unique_idx = np.unique(flat_logp, return_index=True)
+    return flat_chain[unique_idx[-n_walkers:]]
+
+
+def run_mcmc(
+    config: MCMCConfig,
+    closure_index: int = -1,
+    seed: int = 0,
+    mode: str = "block",
+    dtype=None,
+) -> dict[str, Any]:
+    """Run the full MCMC for one analysis; writes mcmc.h5 + sampler state pickle."""
+    param_spec = config.parameterization_spec()
+    theta_min = np.asarray(param_spec["min"], float)
+    theta_max = np.asarray(param_spec["max"], float)
+    ndim = len(param_spec["names"])
+
+    emulation_config = EmulationConfig.from_config_file(
+        analysis_name=config.analysis_name,
+        parameterization=config.parameterization,
+        analysis_config=config.analysis_config,
+        config_file=config.config_file,
+    )
+    emulation_results = emulation_config.read_all_emulator_groups()
+
+    experimental_results = obs_io.data_array_from_h5(
+        config.output_dir,
+        "observables.h5",
+        pseudodata_index=closure_index,
+        observable_filter=emulation_config.observable_filter,
+        rng=np.random.default_rng(seed + 12345) if closure_index >= 0 else None,
+    )
+
+    like = build_likelihood(
+        emulation_config,
+        emulation_results,
+        experimental_results,
+        theta_min=theta_min,
+        theta_max=theta_max,
+        mode=mode,
+        dtype=dtype,
+    )
+    log_prob_fn = like.log_posterior
+    dt = like.theta_min.dtype
+
+    key = jax.random.key(seed)
+    key, k_init = jax.random.split(key)
+    x0 = jax.random.uniform(
+        k_init, (config.n_walkers, ndim), minval=like.theta_min, maxval=like.theta_max, dtype=dt
+    )
+
+    # --- burn-in phase 1 -------------------------------------------------------
+    nburn0 = config.n_burn_steps // 2
+    logger.info(f"Burn-in phase 1: {config.n_walkers} walkers x {nburn0} steps")
+    key, k1 = jax.random.split(key)
+    out1 = run_ensemble(k1, log_prob_fn, x0, nburn0)
+
+    # --- reposition walkers at top-likelihood points (host, reference parity) ---
+    x_top = resample_walkers_to_top_positions(
+        np.asarray(out1["chain"]), np.asarray(out1["log_prob"]), config.n_walkers
+    )
+    logger.info("Resampled walker positions; burn-in phase 2")
+
+    key, k2 = jax.random.split(key)
+    out2 = run_ensemble(k2, log_prob_fn, jnp.asarray(x_top, dt), config.n_burn_steps - nburn0, store_chain=False)
+
+    # --- production -------------------------------------------------------------
+    logger.info(f"Production: {config.n_sampling_steps} steps")
+    key, k3 = jax.random.split(key)
+    out3 = run_ensemble(k3, log_prob_fn, out2["coords"], config.n_sampling_steps)
+
+    chain = np.asarray(out3["chain"])
+    log_prob = np.asarray(out3["log_prob"])
+    acceptance_fraction = np.asarray(out3["acceptance_fraction"])
+    af = acceptance_fraction
+    logger.info(
+        f"acceptance fraction: mean {af.mean():.3f}, std {af.std():.3f}, min {af.min():.3f}, max {af.max():.3f}"
+    )
+
+    output_dict: dict[str, Any] = {
+        "chain": chain,
+        "acceptance_fraction": acceptance_fraction,
+        "log_prob": log_prob,
+    }
+    try:
+        output_dict["autocorrelation_time"] = stats.integrated_time(chain)
+    except stats.AutocorrError as e:
+        output_dict["autocorrelation_time"] = None
+        logger.info(f"Could not compute autocorrelation time: {e}")
+
+    if closure_index >= 0:
+        design_point = obs_io.design_array_from_h5(
+            config.output_dir, "observables.h5", validation_set=True
+        )[closure_index]
+        output_dict["design_point"] = design_point
+        output_dict["experimental_pseudodata"] = experimental_results
+
+    hdf5.write_dict_to_h5(output_dict, config.mcmc_output_dir, "mcmc.h5", verbose=True)
+
+    sampler_state = {
+        "final_coords": np.asarray(out3["coords"]),
+        "final_log_prob": np.asarray(out3["final_log_prob"]),
+        "n_walkers": config.n_walkers,
+        "ndim": ndim,
+        "seed": seed,
+        "mode": mode,
+    }
+    os.makedirs(config.mcmc_output_dir, exist_ok=True)
+    with open(config.sampler_outputfile, "wb") as f:
+        pickle.dump(sampler_state, f)
+
+    return output_dict

@@ -1,0 +1,100 @@
+"""Posterior statistics: credible intervals, MAP estimate, autocorrelation time.
+
+Host-side numpy diagnostics (reference mcmc.py:137-184 and emcee's FFT-based
+integrated autocorrelation time, used at plot_mcmc.py:185,198).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import numpy.typing as npt
+
+
+def credible_interval(samples: npt.NDArray, confidence: float = 0.9, interval_type: str = "quantile"):
+    """Credible interval of a 1-D sample array: 'hpd' (minimum width) or 'quantile'."""
+    samples = np.asarray(samples)
+    if interval_type == "hpd":
+        nci = int((1 - confidence) * samples.size)
+        argp = np.argpartition(samples, [nci, samples.size - nci])
+        lows = np.sort(samples[argp[:nci]])
+        highs = np.sort(samples[argp[-nci:]])
+        i = np.argmin(highs - lows)
+        return lows[i], highs[i]
+    if interval_type == "quantile":
+        lo = (1 - confidence) / 2
+        return tuple(np.quantile(samples, [lo, 1 - lo]))
+    raise ValueError(f"Unknown interval_type {interval_type}")
+
+
+def map_parameters(posterior: npt.NDArray, method: str = "quantile") -> npt.NDArray:
+    """MAP estimate: mean of samples inside a narrow central quantile band, per dim."""
+    if method != "quantile":
+        raise ValueError(f"Unknown method {method}")
+    posterior = np.asarray(posterior)
+    q = 0.01
+    lo = np.quantile(posterior, 0.5 - q / 2, axis=0)
+    hi = np.quantile(posterior, 0.5 + q / 2, axis=0)
+    mask = (posterior >= lo) & (posterior <= hi)
+    return np.array([posterior[mask[:, i], i].mean() for i in range(posterior.shape[1])])
+
+
+# --------------------------------------------------------------------------------------
+# Integrated autocorrelation time (Goodman & Weare / Sokal windowing, as in emcee)
+# --------------------------------------------------------------------------------------
+
+class AutocorrError(Exception):
+    """Chain too short to reliably estimate the autocorrelation time."""
+
+
+def _next_pow_two(n: int) -> int:
+    i = 1
+    while i < n:
+        i <<= 1
+    return i
+
+
+def autocorr_function_1d(x: npt.NDArray) -> npt.NDArray:
+    """Normalized autocorrelation function of a 1-D series via FFT."""
+    x = np.atleast_1d(np.asarray(x, float))
+    n = _next_pow_two(len(x))
+    f = np.fft.fft(x - np.mean(x), n=2 * n)
+    acf = np.fft.ifft(f * np.conjugate(f))[: len(x)].real
+    return acf / acf[0]
+
+
+def _auto_window(taus: npt.NDArray, c: float) -> int:
+    m = np.arange(len(taus)) < c * taus
+    if np.any(m):
+        return int(np.argmin(m))
+    return len(taus) - 1
+
+
+def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet: bool = False) -> npt.NDArray:
+    """Integrated autocorrelation time per parameter for a (n_steps, n_walkers, ndim) chain.
+
+    Averages the walker autocorrelation functions, applies Sokal's automatic
+    windowing with parameter ``c``, and raises AutocorrError when the chain is
+    shorter than ``tol`` autocorrelation times (unless ``quiet``).
+    """
+    chain = np.asarray(chain, float)
+    if chain.ndim == 2:
+        chain = chain[:, :, None]
+    n_t, n_w, n_d = chain.shape
+    tau_est = np.empty(n_d)
+    for d in range(n_d):
+        f = np.zeros(n_t)
+        for w in range(n_w):
+            f += autocorr_function_1d(chain[:, w, d])
+        f /= n_w
+        taus = 2.0 * np.cumsum(f) - 1.0
+        tau_est[d] = taus[_auto_window(taus, c)]
+
+    if np.any(tol * tau_est > n_t):
+        msg = (
+            f"The chain is shorter than {tol} times the integrated autocorrelation time "
+            f"for {np.sum(tol * tau_est > n_t)} parameter(s). Use this estimate with caution! "
+            f"N/{tol} = {n_t / tol:.0f}; tau: {tau_est}"
+        )
+        if not quiet:
+            raise AutocorrError(msg)
+    return tau_est

@@ -1,0 +1,141 @@
+"""Affine-invariant ensemble sampler (Goodman & Weare 2010 stretch move),
+implemented as a vmapped two-half update inside a single ``lax.scan``.
+
+Replaces emcee's EnsembleSampler + the reference's multiprocessing pool
+(mcmc.py:72-107): the ENTIRE chain — proposal, batched GP-emulated likelihood,
+accept/reject — runs on-chip with zero host round-trips.
+
+Semantics follow emcee's StretchMove:
+  - ensemble split into two halves; with ``randomize_split`` the walker order
+    is shuffled every iteration (emcee RedBlueMove default)
+  - for each walker in the half being updated: partner X_c drawn uniformly
+    from the complementary half; z ~ g(z) with density ∝ 1/sqrt(z) on
+    [1/a, a] via z = ((a-1)u + 1)^2 / a; proposal Y = X_c + z (X - X_c)
+  - accept with log-probability min(0, (d-1) log z + logp(Y) - logp(X))
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class EnsembleState(NamedTuple):
+    coords: jax.Array     # (W, d)
+    log_prob: jax.Array   # (W,)
+    n_accepted: jax.Array # (W,) int32
+    key: jax.Array
+
+
+def _stretch_half(
+    key: jax.Array,
+    x_upd: jax.Array,
+    logp_upd: jax.Array,
+    x_comp: jax.Array,
+    log_prob_fn: Callable[[jax.Array], jax.Array],
+    a: float,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Update one half against the complementary half. Returns (x, logp, accepted)."""
+    n, d = x_upd.shape
+    k_z, k_pair, k_acc = jax.random.split(key, 3)
+
+    u = jax.random.uniform(k_z, (n,), dtype=x_upd.dtype)
+    z = ((a - 1.0) * u + 1.0) ** 2 / a
+    partners = jax.random.randint(k_pair, (n,), 0, x_comp.shape[0])
+    x_c = x_comp[partners]
+    y = x_c + z[:, None] * (x_upd - x_c)
+
+    logp_y = log_prob_fn(y)
+    log_ratio = (d - 1.0) * jnp.log(z) + logp_y - logp_upd
+    accept = jnp.log(jax.random.uniform(k_acc, (n,), dtype=x_upd.dtype)) < log_ratio
+
+    x_new = jnp.where(accept[:, None], y, x_upd)
+    logp_new = jnp.where(accept, logp_y, logp_upd)
+    return x_new, logp_new, accept
+
+
+def step(
+    state: EnsembleState,
+    log_prob_fn: Callable[[jax.Array], jax.Array],
+    a: float = 2.0,
+    randomize_split: bool = True,
+) -> EnsembleState:
+    """One full ensemble step (both halves updated)."""
+    W = state.coords.shape[0]
+    half = W // 2
+    key, k_perm, k_h0, k_h1 = jax.random.split(state.key, 4)
+
+    if randomize_split:
+        perm = jax.random.permutation(k_perm, W)
+    else:
+        perm = jnp.arange(W)
+    inv = jnp.argsort(perm)
+
+    x = state.coords[perm]
+    logp = state.log_prob[perm]
+    acc = jnp.zeros(W, dtype=bool)
+
+    x0, lp0, a0 = _stretch_half(k_h0, x[:half], logp[:half], x[half:], log_prob_fn, a)
+    x = x.at[:half].set(x0)
+    logp = logp.at[:half].set(lp0)
+    acc = acc.at[:half].set(a0)
+
+    x1, lp1, a1 = _stretch_half(k_h1, x[half:], logp[half:], x[:half], log_prob_fn, a)
+    x = x.at[half:].set(x1)
+    logp = logp.at[half:].set(lp1)
+    acc = acc.at[half:].set(a1)
+
+    return EnsembleState(
+        coords=x[inv],
+        log_prob=logp[inv],
+        n_accepted=state.n_accepted + acc[inv].astype(jnp.int32),
+        key=key,
+    )
+
+
+@partial(jax.jit, static_argnames=("log_prob_fn", "n_steps", "a", "randomize_split", "store_chain", "thin"))
+def run_ensemble(
+    key: jax.Array,
+    log_prob_fn: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    n_steps: int,
+    a: float = 2.0,
+    randomize_split: bool = True,
+    store_chain: bool = True,
+    thin: int = 1,
+) -> dict[str, jax.Array]:
+    """Run the sampler for ``n_steps`` on-chip.
+
+    Returns {'chain': (n_steps//thin, W, d) [if store_chain], 'log_prob': same
+    leading shape, 'coords', 'final_log_prob', 'acceptance_fraction', 'key'}.
+    """
+    W = x0.shape[0]
+    if W % 2:
+        raise ValueError("n_walkers must be even")
+    logp0 = log_prob_fn(x0)
+    state0 = EnsembleState(
+        coords=x0, log_prob=logp0, n_accepted=jnp.zeros(W, jnp.int32), key=key
+    )
+
+    def body(state, _):
+        new = state
+        for _ in range(thin):
+            new = step(new, log_prob_fn, a=a, randomize_split=randomize_split)
+        out = (new.coords, new.log_prob) if store_chain else None
+        return new, out
+
+    final, ys = jax.lax.scan(body, state0, None, length=n_steps // thin)
+
+    result = {
+        "coords": final.coords,
+        "final_log_prob": final.log_prob,
+        "acceptance_fraction": final.n_accepted.astype(x0.dtype) / n_steps,
+        "key": final.key,
+    }
+    if store_chain:
+        result["chain"] = ys[0]
+        result["log_prob"] = ys[1]
+    return result

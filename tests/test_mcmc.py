@@ -1,0 +1,209 @@
+"""MCMC tests: stretch-move statistical correctness on analytic targets,
+likelihood parity vs the reference formula, and runner integration."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bayesian_inference_tpu import io
+from bayesian_inference_tpu.mcmc import stats
+from bayesian_inference_tpu.mcmc.likelihood import build_likelihood
+from bayesian_inference_tpu.mcmc.stretch import run_ensemble
+from bayesian_inference_tpu.ops.mvn import mvn_loglike_dense
+from conftest import make_analysis_yaml
+
+
+# --------------------------------------------------------------------------------------
+# Sampler statistical correctness
+# --------------------------------------------------------------------------------------
+
+def test_stretch_samples_correlated_gaussian():
+    cov = np.array([[2.0, 1.2], [1.2, 1.5]])
+    mu = np.array([1.0, -2.0])
+    Pinv = jnp.asarray(np.linalg.inv(cov))
+
+    def log_prob(x):
+        d = x - mu
+        return -0.5 * jnp.einsum("wi,ij,wj->w", d, Pinv, d)
+
+    key = jax.random.key(1)
+    x0 = jax.random.normal(key, (64, 2)) * 0.1 + mu
+    out = run_ensemble(jax.random.key(2), log_prob, x0, 4000)
+    samples = np.asarray(out["chain"][500:]).reshape(-1, 2)
+
+    np.testing.assert_allclose(samples.mean(axis=0), mu, atol=0.08)
+    np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.15)
+    af = np.asarray(out["acceptance_fraction"])
+    assert 0.2 < af.mean() < 0.8
+
+
+def test_stretch_two_seeds_agree():
+    """Two independent chains sample the same distribution (KS on marginals)."""
+    from scipy.stats import ks_2samp
+
+    def log_prob(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    runs = []
+    for seed in (3, 4):
+        x0 = jax.random.normal(jax.random.key(seed), (32, 3)) * 0.5
+        out = run_ensemble(jax.random.key(seed + 10), log_prob, x0, 3000)
+        # thin to reduce autocorrelation for KS validity
+        runs.append(np.asarray(out["chain"][500::20]).reshape(-1, 3))
+    for d in range(3):
+        assert ks_2samp(runs[0][:, d], runs[1][:, d]).pvalue > 1e-3
+
+
+def test_acceptance_fraction_counts():
+    def log_prob(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.key(0), (16, 2))
+    out = run_ensemble(jax.random.key(1), log_prob, x0, 100)
+    af = np.asarray(out["acceptance_fraction"])
+    assert af.shape == (16,)
+    assert np.all(af >= 0) and np.all(af <= 1)
+
+
+def test_odd_walkers_rejected():
+    with pytest.raises(ValueError):
+        run_ensemble(jax.random.key(0), lambda x: -jnp.sum(x**2, -1), jnp.zeros((5, 2)), 10)
+
+
+# --------------------------------------------------------------------------------------
+# Emulated likelihood parity vs reference formula
+# --------------------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def likelihood_setup(tmp_path_factory):
+    from bayesian_inference_tpu.models import emulator
+    from bayesian_inference_tpu.pipeline.configs import EmulationConfig, load_yaml
+
+    tmp_path = tmp_path_factory.mktemp("mcmc_like")
+    config_path, analysis_name, param = make_analysis_yaml(tmp_path)
+    analysis_config = load_yaml(config_path)["analyses"][analysis_name]
+    emu_config = EmulationConfig.from_config_file(
+        analysis_name=analysis_name, parameterization=param,
+        config_file=str(config_path), analysis_config=analysis_config,
+    )
+    emulator.fit_emulators(emu_config, n_opt_iters=30)
+    results = emu_config.read_all_emulator_groups()
+    exp = io.data_array_from_h5(emu_config.output_dir, "observables.h5",
+                                observable_filter=emu_config.observable_filter)
+    pspec = analysis_config["parameterization"][param]
+    return emu_config, results, exp, pspec, config_path, analysis_name, analysis_config
+
+
+def test_block_likelihood_matches_reference_formula(likelihood_setup):
+    """Our on-device block likelihood == host-side reference computation:
+    merged emulator prediction + block-diag covariance + diag data errors +
+    per-sample dense Cholesky MVN (log_posterior.py semantics)."""
+    from bayesian_inference_tpu.models import emulator
+
+    emu_config, results, exp, pspec, *_ = likelihood_setup
+    like = build_likelihood(
+        emu_config, results, exp, theta_min=pspec["min"], theta_max=pspec["max"], mode="block"
+    )
+
+    rng = np.random.default_rng(0)
+    theta = rng.uniform(np.asarray(pspec["min"]) * 1.05 + 1e-3, np.asarray(pspec["max"]) * 0.95,
+                        (7, len(pspec["min"])))
+
+    ours = np.asarray(like.log_posterior(jnp.asarray(theta)))
+
+    # Host reference path (per-walker semantics: truncation covariance undivided)
+    pred = emulator.predict(theta, emu_config, emulation_group_results=results,
+                            scale_cov_unexplained_by_n_samples=False)
+    dY = pred["central_value"] - exp["y"]
+    cov = pred["cov"] + np.diag(exp["y_err"] ** 2)[None, :, :]
+    ref = np.asarray(mvn_loglike_dense(jnp.asarray(dY), jnp.asarray(cov)))
+
+    np.testing.assert_allclose(ours, ref, rtol=1e-8)
+
+
+def test_bounds_give_minus_inf(likelihood_setup):
+    emu_config, results, exp, pspec, *_ = likelihood_setup
+    like = build_likelihood(emu_config, results, exp, theta_min=pspec["min"], theta_max=pspec["max"])
+    theta = np.tile(np.asarray(pspec["min"]), (2, 1)) + 0.1
+    theta[1, 0] = pspec["min"][0] - 1.0  # out of bounds
+    out = np.asarray(like.log_posterior(jnp.asarray(theta)))
+    assert np.isfinite(out[0])
+    assert out[1] == -np.inf
+
+
+def test_lowrank_mode_runs_and_is_finite(likelihood_setup):
+    emu_config, results, exp, pspec, *_ = likelihood_setup
+    like = build_likelihood(emu_config, results, exp, theta_min=pspec["min"],
+                            theta_max=pspec["max"], mode="lowrank")
+    rng = np.random.default_rng(1)
+    theta = rng.uniform(np.asarray(pspec["min"]) + 1e-3, np.asarray(pspec["max"]) - 1e-3,
+                        (5, len(pspec["min"])))
+    out = np.asarray(like.log_posterior(jnp.asarray(theta)))
+    assert np.all(np.isfinite(out))
+
+
+# --------------------------------------------------------------------------------------
+# Runner integration
+# --------------------------------------------------------------------------------------
+
+def test_run_mcmc_end_to_end(likelihood_setup):
+    from bayesian_inference_tpu.mcmc.runner import run_mcmc
+    from bayesian_inference_tpu.pipeline.configs import MCMCConfig
+
+    emu_config, results, exp, pspec, config_path, analysis_name, analysis_config = likelihood_setup
+    cfg = MCMCConfig(
+        analysis_name=analysis_name, parameterization="exponential",
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+    out = run_mcmc(cfg, seed=0)
+    assert out["chain"].shape == (cfg.n_sampling_steps, cfg.n_walkers, 6)
+    assert out["log_prob"].shape == (cfg.n_sampling_steps, cfg.n_walkers)
+    assert np.all(np.isfinite(out["log_prob"]))
+
+    stored = io.read_dict_from_h5(cfg.mcmc_output_dir, "mcmc.h5", verbose=False)
+    np.testing.assert_allclose(stored["chain"], out["chain"])
+    # all samples inside the prior box
+    assert np.all(out["chain"] >= np.asarray(pspec["min"]))
+    assert np.all(out["chain"] <= np.asarray(pspec["max"]))
+
+
+# --------------------------------------------------------------------------------------
+# Stats
+# --------------------------------------------------------------------------------------
+
+def test_credible_interval_quantile_and_hpd():
+    rng = np.random.default_rng(5)
+    s = rng.normal(0, 1, 200_000)
+    lo, hi = stats.credible_interval(s, confidence=0.9, interval_type="quantile")
+    np.testing.assert_allclose([lo, hi], [-1.645, 1.645], atol=0.02)
+    lo, hi = stats.credible_interval(s, confidence=0.9, interval_type="hpd")
+    np.testing.assert_allclose([lo, hi], [-1.645, 1.645], atol=0.05)
+
+
+def test_map_parameters_near_median():
+    rng = np.random.default_rng(6)
+    s = rng.normal([1.0, -3.0], [0.5, 2.0], size=(100_000, 2))
+    m = stats.map_parameters(s)
+    np.testing.assert_allclose(m, [1.0, -3.0], atol=0.05)
+
+
+def test_integrated_time_on_ar1():
+    """AR(1) with coefficient rho has tau = (1+rho)/(1-rho)."""
+    rho = 0.9
+    expected = (1 + rho) / (1 - rho)  # = 19
+    rng = np.random.default_rng(7)
+    n, walkers = 40_000, 8
+    x = np.zeros((n, walkers))
+    eps = rng.normal(size=(n, walkers))
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + eps[t]
+    tau = stats.integrated_time(x[:, :, None])
+    np.testing.assert_allclose(tau[0], expected, rtol=0.25)
+
+
+def test_integrated_time_raises_on_short_chain():
+    rng = np.random.default_rng(8)
+    x = np.cumsum(rng.normal(size=(100, 4, 1)), axis=0)  # random walk: huge tau
+    with pytest.raises(stats.AutocorrError):
+        stats.integrated_time(x)
