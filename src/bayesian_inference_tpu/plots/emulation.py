@@ -1,0 +1,116 @@
+"""Emulator diagnostics (reference plot_emulation.py): PCA explained variance,
+reconstruction error vs n_pc, emulator-vs-model observables on training and
+validation sets, residual scatter + normalized-residual histograms."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+from bayesian_inference_tpu.io import hdf5, observables as obs_io
+from bayesian_inference_tpu.models import emulator as emulator_mod
+from bayesian_inference_tpu.plots.utils import ensure_plot_dir
+
+logger = logging.getLogger(__name__)
+
+
+def plot(config) -> None:
+    missing = [
+        g.emulation_outputfile
+        for g in config.emulation_groups_config.values()
+        if not os.path.exists(g.emulation_outputfile)
+    ]
+    if missing:
+        logger.info(f"Missing emulator artifacts {missing}; skipping emulation plots")
+        return
+    results = config.read_all_emulator_groups()
+    plot_dir = ensure_plot_dir(config.output_dir, "plot_emulation")
+
+    for name, art in results.items():
+        _plot_pca_explained_variance(art, name, plot_dir)
+        _plot_reconstruction_error(art, name, plot_dir)
+
+    _plot_residuals(config, results, plot_dir, validation_set=False)
+    _plot_residuals(config, results, plot_dir, validation_set=True)
+
+
+def _plot_pca_explained_variance(art: dict, name: str, plot_dir: str) -> None:
+    evr = np.asarray(art["PCA"]["explained_variance_ratio"])
+    n_pc = int(art["n_pc"])
+    fig, ax = plt.subplots(figsize=(5, 4))
+    xs = np.arange(1, len(evr) + 1)
+    ax.plot(xs, np.cumsum(evr), "o-", ms=3)
+    ax.axvline(n_pc, color="r", ls="--", label=f"n_pc = {n_pc}")
+    ax.set_xlabel("number of principal components")
+    ax.set_ylabel("cumulative explained variance")
+    ax.set_xscale("log")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, f"pca_explained_variance__{name}.pdf"))
+    plt.close(fig)
+
+
+def _plot_reconstruction_error(art: dict, name: str, plot_dir: str) -> None:
+    Y = np.asarray(art["PCA"]["Y"])
+    Y_pca = np.asarray(art["PCA"]["Y_pca"])
+    comps = np.asarray(art["PCA"]["components"])
+    mean, scale = np.asarray(art["PCA"]["mean"]), np.asarray(art["PCA"]["scale"])
+    n_max = min(Y_pca.shape[1], comps.shape[0])
+    errs = []
+    ns = np.unique(np.linspace(1, n_max, 12).astype(int))
+    for n in ns:
+        recon = (Y_pca[:, :n] @ comps[:n]) * scale + mean
+        errs.append(np.sqrt(np.mean((recon - Y) ** 2)))
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.plot(ns, errs, "o-", ms=3)
+    ax.axvline(int(art["n_pc"]), color="r", ls="--")
+    ax.set_xlabel("n_pc")
+    ax.set_ylabel("RMS reconstruction error")
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, f"reconstruction_error__{name}.pdf"))
+    plt.close(fig)
+
+
+def _plot_residuals(config, results: dict, plot_dir: str, validation_set: bool) -> None:
+    label = "validation" if validation_set else "training"
+    try:
+        theta = obs_io.design_array_from_h5(
+            config.output_dir, config.observables_filename, validation_set=validation_set
+        )
+        Y_true = obs_io.predictions_matrix_from_h5(
+            config.output_dir, config.observables_filename,
+            validation_set=validation_set, observable_filter=config.observable_filter,
+        )
+    except (KeyError, FileNotFoundError, ValueError) as e:
+        logger.info(f"Could not load {label} set for residual plots: {e}")
+        return
+
+    pred = emulator_mod.predict(np.asarray(theta), config, emulation_group_results=results)
+    mean = pred["central_value"]
+    std = np.sqrt(np.maximum(np.einsum("bff->bf", pred["cov"]), 1e-30))
+
+    resid = mean - Y_true
+    normed = resid / std
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+    ax1.plot(Y_true.ravel(), mean.ravel(), ".", ms=1, alpha=0.3)
+    lims = [min(Y_true.min(), mean.min()), max(Y_true.max(), mean.max())]
+    ax1.plot(lims, lims, "k--", lw=1)
+    ax1.set_xlabel("model")
+    ax1.set_ylabel("emulator")
+    ax1.set_title(f"{label} set")
+
+    ax2.hist(np.clip(normed.ravel(), -6, 6), bins=80, density=True)
+    xs = np.linspace(-5, 5, 200)
+    ax2.plot(xs, np.exp(-0.5 * xs**2) / np.sqrt(2 * np.pi), "r--", lw=1, label="N(0,1)")
+    ax2.set_xlabel("(emulator - model) / sigma")
+    ax2.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, f"residuals__{label}.pdf"))
+    plt.close(fig)

@@ -1,0 +1,128 @@
+"""MCMC diagnostics plots (reference plot_mcmc.py): acceptance fraction,
+log-posterior traces/heatmap, integrated autocorrelation time, posterior
+pairplot, design-vs-posterior observables."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+from bayesian_inference_tpu.io import hdf5
+from bayesian_inference_tpu.mcmc import stats
+from bayesian_inference_tpu.plots.utils import ensure_plot_dir
+
+logger = logging.getLogger(__name__)
+
+
+def plot(config) -> None:
+    mcmc_h5 = os.path.join(config.mcmc_output_dir, "mcmc.h5")
+    if not os.path.exists(mcmc_h5):
+        logger.info(f"No mcmc.h5 found at {mcmc_h5}; skipping MCMC plots")
+        return
+    results = hdf5.read_dict_from_h5(config.mcmc_output_dir, "mcmc.h5", verbose=False)
+    plot_dir = ensure_plot_dir(config.output_dir, "plot_mcmc")
+
+    chain = np.asarray(results["chain"])  # (steps, walkers, ndim)
+    log_prob = np.asarray(results["log_prob"])
+    names = config.analysis_config["parameterization"][config.parameterization]["names"]
+
+    _plot_acceptance(np.asarray(results["acceptance_fraction"]), plot_dir)
+    _plot_log_posterior(log_prob, plot_dir)
+    _plot_autocorrelation(chain, plot_dir)
+    _plot_pairplot(chain, names, plot_dir)
+    _plot_traces(chain, names, plot_dir)
+
+
+def _plot_acceptance(af: np.ndarray, plot_dir: str) -> None:
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(af, "o", ms=3)
+    ax.axhline(af.mean(), color="r", ls="--", label=f"mean = {af.mean():.3f}")
+    ax.set_xlabel("walker")
+    ax.set_ylabel("acceptance fraction")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, "acceptance_fraction.pdf"))
+    plt.close(fig)
+
+
+def _plot_log_posterior(log_prob: np.ndarray, plot_dir: str) -> None:
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    for w in range(0, log_prob.shape[1], max(1, log_prob.shape[1] // 20)):
+        ax1.plot(log_prob[:, w], lw=0.3, alpha=0.5)
+    ax1.set_xlabel("step")
+    ax1.set_ylabel("log posterior")
+    finite = log_prob[np.isfinite(log_prob)]
+    if finite.size:
+        ax2.hist(finite.ravel(), bins=100)
+    ax2.set_xlabel("log posterior")
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, "log_posterior.pdf"))
+    plt.close(fig)
+
+
+def _plot_autocorrelation(chain: np.ndarray, plot_dir: str) -> None:
+    """tau estimates vs chain length (emcee-style convergence check)."""
+    n_steps = chain.shape[0]
+    lengths = np.unique(np.logspace(2, np.log10(n_steps), 8).astype(int))
+    lengths = lengths[lengths >= 100]
+    taus = []
+    for n in lengths:
+        taus.append(stats.integrated_time(chain[:n], quiet=True))
+    taus = np.array(taus)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for d in range(taus.shape[1]):
+        ax.plot(lengths, taus[:, d], "o-", ms=3, label=f"param {d}")
+    ax.plot(lengths, lengths / 50.0, "k--", label="N/50 threshold")
+    ax.set_xscale("log")
+    ax.set_xlabel("chain length")
+    ax.set_ylabel(r"integrated autocorrelation time $\tau$")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, "autocorrelation_time.pdf"))
+    plt.close(fig)
+
+
+def _plot_pairplot(chain: np.ndarray, names: list[str], plot_dir: str, max_samples: int = 20000) -> None:
+    flat = chain.reshape(-1, chain.shape[-1])
+    if flat.shape[0] > max_samples:
+        idx = np.random.default_rng(0).choice(flat.shape[0], max_samples, replace=False)
+        flat = flat[idx]
+    d = flat.shape[1]
+    fig, axes = plt.subplots(d, d, figsize=(2.2 * d, 2.2 * d))
+    for i in range(d):
+        for j in range(d):
+            ax = axes[i][j]
+            if i == j:
+                ax.hist(flat[:, i], bins=50, color="steelblue")
+            elif i > j:
+                ax.hist2d(flat[:, j], flat[:, i], bins=40, cmap="Blues")
+            else:
+                ax.axis("off")
+            if i == d - 1:
+                ax.set_xlabel(names[j], fontsize=7)
+            if j == 0 and i > 0:
+                ax.set_ylabel(names[i], fontsize=7)
+            ax.tick_params(labelsize=5)
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, "pairplot_posterior.pdf"))
+    plt.close(fig)
+
+
+def _plot_traces(chain: np.ndarray, names: list[str], plot_dir: str) -> None:
+    d = chain.shape[-1]
+    fig, axes = plt.subplots(d, 1, figsize=(8, 1.6 * d), sharex=True, squeeze=False)
+    for i in range(d):
+        ax = axes[i][0]
+        for w in range(0, chain.shape[1], max(1, chain.shape[1] // 10)):
+            ax.plot(chain[:, w, i], lw=0.3, alpha=0.6)
+        ax.set_ylabel(names[i], fontsize=7)
+    axes[-1][0].set_xlabel("step")
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, "traces.pdf"))
+    plt.close(fig)

@@ -1,0 +1,131 @@
+"""End-to-end pipeline tests: steer over the fixture (preprocess -> emulators ->
+MCMC -> plots), plus .dat table ingest on a synthetic table set."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from bayesian_inference_tpu.io import tables
+from bayesian_inference_tpu.pipeline.steer import SteerAnalysis
+from conftest import make_analysis_yaml
+
+
+@pytest.mark.slow
+def test_steer_end_to_end(tmp_path):
+    groups = {"default_group": {"n_pc": 3, "observable_list": ["hadron__pt_"]}}
+    config_path, analysis_name, param = make_analysis_yaml(
+        tmp_path, groups=groups, n_walkers=12, n_burn_steps=16, n_sampling_steps=30, n_restarts=1
+    )
+    # enable preprocessing + plots in the config
+    cfg = yaml.safe_load(config_path.read_text())
+    cfg["preprocess_input_data"] = True
+    cfg["plot"] = {k: True for k in cfg["plot"]}
+    config_path.write_text(yaml.safe_dump(cfg))
+
+    steer = SteerAnalysis(config_file=str(config_path))
+    steer.run_analysis()
+
+    run_dir = Path(cfg["output_dir"]) / f"{analysis_name}_{param}"
+    assert (run_dir / "observables_preprocessed.h5").exists()
+    assert (run_dir / "emulation_group_default_group.pkl").exists()
+    assert (run_dir / "mcmc.h5").exists()
+    assert (run_dir / "mcmc_sampler.pkl").exists()
+    assert (Path(cfg["output_dir"]) / "steer_analysis_config.yaml").exists()
+
+    # plots
+    assert (run_dir / "plot_mcmc" / "acceptance_fraction.pdf").exists()
+    assert (run_dir / "plot_mcmc" / "pairplot_posterior.pdf").exists()
+    assert (run_dir / "plot_qhat" / "qhat_vs_T.pdf").exists()
+    assert (run_dir / "plot_emulation" / "pca_explained_variance__default_group.pdf").exists()
+    assert (run_dir / "plot_input_data" / "predictions__standard.pdf").exists()
+    assert (Path(cfg["output_dir"]) / "qhat_across_analyses.pdf").exists()
+
+
+def _write_synthetic_tables(table_dir: Path, n_design=20, n_bins=5, n_params=6):
+    """Small self-consistent Data/Design/Prediction table set in the reference format."""
+    rng = np.random.default_rng(0)
+    (table_dir / "Data").mkdir(parents=True)
+    (table_dir / "Design").mkdir()
+    (table_dir / "Prediction").mkdir()
+
+    label = "5020__PbPb__hadron__pt_ch_test____0-5"
+    xmin = np.arange(n_bins, dtype=float)
+    xmax = xmin + 1
+    y = rng.uniform(0.5, 1.0, n_bins)
+    y_err = 0.05 * y
+    np.savetxt(table_dir / "Data" / f"Data__{label}.dat", np.c_[xmin, xmax, y, y_err])
+
+    design = rng.uniform(0, 1, (n_design, n_params))
+    ids = " ".join(str(i) for i in range(n_design))
+    header = f"Design point indices (row index): {ids}"
+    np.savetxt(table_dir / "Design" / "Design__exponential.dat", design, header=header)
+
+    pred = rng.uniform(0.4, 1.1, (n_bins, n_design))
+    pred_err = 0.05 * pred
+    dp_header = " ".join(f"design_point{i}" for i in range(n_design))
+    for kind, arr in (("values", pred), ("errors", pred_err)):
+        # Real files carry a single header line "# design_point0 design_point1 ..."
+        np.savetxt(
+            table_dir / "Prediction" / f"Prediction__exponential__{label}__{kind}.dat",
+            arr, header=dp_header,
+        )
+    return label, design, pred
+
+
+def test_initialize_observables_from_tables(tmp_path):
+    table_dir = tmp_path / "tables"
+    label, design, pred = _write_synthetic_tables(table_dir)
+
+    analysis_config = {
+        "sqrts_list": [5020],
+        "centrality_range": [0, 10],
+        "validation_indices": [15, 20],
+        "design_points_to_exclude": [3],
+        "cuts": {},
+        "parameters": {"emulators": {"g": {"observable_list": ["hadron__pt_"]}}},
+    }
+    obs = tables.initialize_observables_dict_from_tables(str(table_dir), analysis_config, "exponential")
+
+    assert label in obs["Data"]
+    assert obs["Design"].shape == (14, 6)            # 20 - 5 validation - 1 excluded
+    assert obs["Design_validation"].shape == (5, 6)
+    assert 3 not in obs["Design_indices"]
+    assert obs["Prediction"][label]["y"].shape == (5, 14)
+    assert obs["Prediction_validation"][label]["y"].shape == (5, 5)
+    np.testing.assert_allclose(obs["Prediction"][label]["y"][:, 0], pred[:, 0])
+
+
+def test_initialize_observables_applies_cuts(tmp_path):
+    table_dir = tmp_path / "tables"
+    label, design, pred = _write_synthetic_tables(table_dir)
+    analysis_config = {
+        "sqrts_list": [5020],
+        "centrality_range": [0, 10],
+        "validation_indices": [15, 20],
+        "cuts": {"hadron__pt_": [1.0, 3.0]},  # keeps bins with xmin>=1, xmax<=3: bins 1,2
+        "parameters": {"emulators": {"g": {"observable_list": ["hadron__pt_"]}}},
+    }
+    obs = tables.initialize_observables_dict_from_tables(str(table_dir), analysis_config, "exponential")
+    assert obs["Prediction"][label]["y"].shape[0] == 2
+    assert obs["Data"][label]["y"].shape[0] == 2
+
+
+def test_centrality_and_sqrts_filters(tmp_path):
+    table_dir = tmp_path / "tables"
+    label, *_ = _write_synthetic_tables(table_dir)
+    base = {
+        "validation_indices": [15, 20],
+        "cuts": {},
+        "parameters": {"emulators": {"g": {"observable_list": ["hadron__pt_"]}}},
+    }
+    # wrong sqrts -> nothing ingested
+    cfg = {**base, "sqrts_list": [200], "centrality_range": [0, 10]}
+    obs = tables.initialize_observables_dict_from_tables(str(table_dir), cfg, "exponential")
+    assert not obs["Data"]
+    # centrality window too narrow -> nothing
+    cfg = {**base, "sqrts_list": [5020], "centrality_range": [0, 4]}
+    obs = tables.initialize_observables_dict_from_tables(str(table_dir), cfg, "exponential")
+    assert not obs["Data"]
