@@ -87,11 +87,22 @@ def run_mcmc(
         k_init, (config.n_walkers, ndim), minval=like.theta_min, maxval=like.theta_max, dtype=dt
     )
 
-    # --- burn-in phase 1 -------------------------------------------------------
+    # All three phases dispatch ONE shared compiled scan program: pick a chunk
+    # size dividing every phase length (distinct scan programs cost tens of
+    # seconds of XLA compile time each on TPU).
+    import math
+
     nburn0 = config.n_burn_steps // 2
-    logger.info(f"Burn-in phase 1: {config.n_walkers} walkers x {nburn0} steps")
+    nburn1 = config.n_burn_steps - nburn0
+    chunk = math.gcd(math.gcd(nburn0, nburn1), config.n_sampling_steps)
+    chunk = max(1, min(chunk, 2000))
+    if nburn0 % chunk or nburn1 % chunk or config.n_sampling_steps % chunk:
+        chunk = None  # fall back to one program per phase
+
+    # --- burn-in phase 1 -------------------------------------------------------
+    logger.info(f"Burn-in phase 1: {config.n_walkers} walkers x {nburn0} steps (chunk={chunk})")
     key, k1 = jax.random.split(key)
-    out1 = run_ensemble(k1, log_prob_fn, x0, nburn0)
+    out1 = run_ensemble(k1, log_prob_fn, x0, nburn0, chunk_size=chunk)
 
     # --- reposition walkers at top-likelihood points (host, reference parity) ---
     x_top = resample_walkers_to_top_positions(
@@ -100,12 +111,12 @@ def run_mcmc(
     logger.info("Resampled walker positions; burn-in phase 2")
 
     key, k2 = jax.random.split(key)
-    out2 = run_ensemble(k2, log_prob_fn, jnp.asarray(x_top, dt), config.n_burn_steps - nburn0, store_chain=False)
+    out2 = run_ensemble(k2, log_prob_fn, jnp.asarray(x_top, dt), nburn1, chunk_size=chunk)
 
     # --- production -------------------------------------------------------------
     logger.info(f"Production: {config.n_sampling_steps} steps")
     key, k3 = jax.random.split(key)
-    out3 = run_ensemble(k3, log_prob_fn, out2["coords"], config.n_sampling_steps)
+    out3 = run_ensemble(k3, log_prob_fn, out2["coords"], config.n_sampling_steps, chunk_size=chunk)
 
     chain = np.asarray(out3["chain"])
     log_prob = np.asarray(out3["log_prob"])

@@ -96,7 +96,45 @@ def step(
     )
 
 
+@partial(jax.jit, static_argnames=("log_prob_fn",))
+def init_state(key: jax.Array, log_prob_fn, x0: jax.Array) -> EnsembleState:
+    """Evaluate the initial ensemble log-probabilities and zero the counters."""
+    return EnsembleState(
+        coords=x0,
+        log_prob=log_prob_fn(x0),
+        n_accepted=jnp.zeros(x0.shape[0], jnp.int32),
+        key=key,
+    )
+
+
 @partial(jax.jit, static_argnames=("log_prob_fn", "n_steps", "a", "randomize_split", "store_chain", "thin"))
+def run_chunk(
+    state: EnsembleState,
+    log_prob_fn: Callable[[jax.Array], jax.Array],
+    n_steps: int,
+    a: float = 2.0,
+    randomize_split: bool = True,
+    store_chain: bool = True,
+    thin: int = 1,
+):
+    """Advance the ensemble by n_steps in one compiled lax.scan program.
+
+    Chunks with identical static arguments share ONE compiled executable, so
+    burn-in phases and production dispatch the same program — important on
+    TPU where each distinct scan program costs tens of seconds to compile.
+    """
+
+    def body(s, _):
+        new = s
+        for _ in range(thin):
+            new = step(new, log_prob_fn, a=a, randomize_split=randomize_split)
+        out = (new.coords, new.log_prob) if store_chain else None
+        return new, out
+
+    final, ys = jax.lax.scan(body, state, None, length=n_steps // thin)
+    return final, ys
+
+
 def run_ensemble(
     key: jax.Array,
     log_prob_fn: Callable[[jax.Array], jax.Array],
@@ -106,8 +144,12 @@ def run_ensemble(
     randomize_split: bool = True,
     store_chain: bool = True,
     thin: int = 1,
+    chunk_size: int | None = None,
 ) -> dict[str, jax.Array]:
     """Run the sampler for ``n_steps`` on-chip.
+
+    ``chunk_size`` splits the run into multiple dispatches of one shared
+    compiled program (must divide n_steps); None = single dispatch.
 
     Returns {'chain': (n_steps//thin, W, d) [if store_chain], 'log_prob': same
     leading shape, 'coords', 'final_log_prob', 'acceptance_fraction', 'key'}.
@@ -115,27 +157,29 @@ def run_ensemble(
     W = x0.shape[0]
     if W % 2:
         raise ValueError("n_walkers must be even")
-    logp0 = log_prob_fn(x0)
-    state0 = EnsembleState(
-        coords=x0, log_prob=logp0, n_accepted=jnp.zeros(W, jnp.int32), key=key
-    )
+    if chunk_size is None:
+        chunk_size = n_steps
+    if n_steps % chunk_size:
+        raise ValueError(f"chunk_size {chunk_size} must divide n_steps {n_steps}")
 
-    def body(state, _):
-        new = state
-        for _ in range(thin):
-            new = step(new, log_prob_fn, a=a, randomize_split=randomize_split)
-        out = (new.coords, new.log_prob) if store_chain else None
-        return new, out
-
-    final, ys = jax.lax.scan(body, state0, None, length=n_steps // thin)
+    state = init_state(key, log_prob_fn, x0)
+    chains, logps = [], []
+    for _ in range(n_steps // chunk_size):
+        state, ys = run_chunk(
+            state, log_prob_fn, chunk_size, a=a,
+            randomize_split=randomize_split, store_chain=store_chain, thin=thin,
+        )
+        if store_chain:
+            chains.append(ys[0])
+            logps.append(ys[1])
 
     result = {
-        "coords": final.coords,
-        "final_log_prob": final.log_prob,
-        "acceptance_fraction": final.n_accepted.astype(x0.dtype) / n_steps,
-        "key": final.key,
+        "coords": state.coords,
+        "final_log_prob": state.log_prob,
+        "acceptance_fraction": state.n_accepted.astype(x0.dtype) / n_steps,
+        "key": state.key,
     }
     if store_chain:
-        result["chain"] = ys[0]
-        result["log_prob"] = ys[1]
+        result["chain"] = chains[0] if len(chains) == 1 else jnp.concatenate(chains, axis=0)
+        result["log_prob"] = logps[0] if len(logps) == 1 else jnp.concatenate(logps, axis=0)
     return result

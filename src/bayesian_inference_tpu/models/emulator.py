@@ -42,63 +42,69 @@ logger = logging.getLogger(__name__)
 # Fit + persistence
 # --------------------------------------------------------------------------------------
 
-def fit_emulator_group(
-    config: EmulationGroupConfig,
-    seed: int = 0,
-    n_opt_iters: int = 100,
-) -> dict[str, Any]:
-    """PCA + vmapped GP fit for one emulation group; returns the artifact dict.
-
-    Returns {} when the output file already exists and force_retrain is False
-    (reference skip-if-exists gate, emulation.py:63-70).
-    """
+def _fit_gate_open(config: EmulationGroupConfig) -> bool:
+    """True when this group needs (re)fitting; removes stale output when forced
+    (reference skip-if-exists gate, emulation.py:63-70)."""
     if os.path.exists(config.emulation_outputfile):
         if config.force_retrain:
             os.remove(config.emulation_outputfile)
             logger.info(f"Removed {config.emulation_outputfile}")
         else:
             logger.info(f"Emulators already exist: {config.emulation_outputfile}")
-            return {}
+            return False
+    return True
 
+
+def _prepare_group(config: EmulationGroupConfig, n_opt_iters: int) -> dict[str, Any]:
+    """Host-side setup for one group: prediction matrix, PCA, design, fit spec."""
     Y = obs_io.predictions_matrix_from_h5(
         config.output_dir, filename=config.observables_filename, observable_filter=config.observable_filter
     )
     state, Y_pca = pca_mod.fit_pca(jnp.asarray(Y), max_n_components=config.max_n_components_to_calculate)
     n_pc = config.n_pc
-    Y_pca_truncated = Y_pca[:, :n_pc]
-    Y_recon = Y_pca_truncated @ state.components[:n_pc]
-    Y_recon_unscaled = state.unscale_features(Y_recon)
     evr = np.asarray(state.explained_variance_ratio)
     logger.info(f"Variance explained by first {n_pc} components: {evr[:n_pc].sum()}")
-
     design = obs_io.design_array_from_h5(config.output_dir, filename=config.observables_filename)
+    return {
+        "Y": Y,
+        "state": state,
+        "Y_pca": Y_pca,
+        "Y_pca_truncated": Y_pca[:, :n_pc],
+        "design": design,
+        "spec": config.fit_spec(n_iters=n_opt_iters),
+        "n_pc": n_pc,
+    }
 
-    spec = config.fit_spec(n_iters=n_opt_iters)
-    logger.info(f"Fitting {n_pc} GPs x {spec.n_restarts + 1} restarts (design: {design.shape})...")
-    posts = gp_fit.fit_gps(
-        spec, jnp.asarray(design, Y_pca_truncated.dtype), Y_pca_truncated, jax.random.key(seed)
-    )
-    for i, lml in enumerate(np.asarray(posts.lml)):
-        params = jax.tree.map(lambda x, i=i: np.asarray(x[i]), posts.params)
-        logger.info(
-            f"  PC {i}: LML={lml:.3f} ls={np.exp(params.log_length_scale).round(3)}"
-            f" noise={np.exp(params.log_noise):.4f}"
-        )
+
+def _log_fit_summary(posts) -> None:
+    lmls = np.asarray(posts.lml)
+    lss = np.exp(np.asarray(posts.params.log_length_scale))
+    noises = np.exp(np.asarray(posts.params.log_noise))
+    for i in range(lmls.shape[0]):
+        logger.info(f"  PC {i}: LML={lmls[i]:.3f} ls={lss[i].round(3)} noise={noises[i]:.4f}")
+
+
+def _artifact_from_fit(config: EmulationGroupConfig, prep: dict[str, Any], posts) -> dict[str, Any]:
+    state = prep["state"]
+    n_pc = prep["n_pc"]
+    Y_pca_truncated = np.asarray(prep["Y_pca_truncated"])
+    Y_recon = Y_pca_truncated @ np.asarray(state.components)[:n_pc]
+    Y_recon_unscaled = Y_recon * np.asarray(state.scale) + np.asarray(state.mean)
 
     cfg = config.kernel_config()
-    artifact: dict[str, Any] = {
+    return {
         "PCA": {
-            "Y": np.asarray(Y),
-            "Y_pca": np.asarray(Y_pca),
-            "Y_pca_truncated": np.asarray(Y_pca_truncated),
-            "Y_reconstructed_truncated": np.asarray(Y_recon),
-            "Y_reconstructed_truncated_unscaled": np.asarray(Y_recon_unscaled),
+            "Y": np.asarray(prep["Y"]),
+            "Y_pca": np.asarray(prep["Y_pca"]),
+            "Y_pca_truncated": Y_pca_truncated,
+            "Y_reconstructed_truncated": Y_recon,
+            "Y_reconstructed_truncated_unscaled": Y_recon_unscaled,
             **{k: np.asarray(v) for k, v in state.to_host_dict().items()},
         },
         "emulators": {
             "kernel": {"nu": cfg.nu, "with_noise": cfg.with_noise, "with_constant": cfg.with_constant},
             "alpha_jitter": config.alpha,
-            "X": np.asarray(design),
+            "X": np.asarray(prep["design"]),
             "params": {
                 "log_length_scale": np.asarray(posts.params.log_length_scale),
                 "log_noise": np.asarray(posts.params.log_noise),
@@ -111,15 +117,94 @@ def fit_emulator_group(
         },
         "n_pc": n_pc,
     }
-    return artifact
+
+
+def fit_emulator_group(
+    config: EmulationGroupConfig,
+    seed: int = 0,
+    n_opt_iters: int = 100,
+) -> dict[str, Any]:
+    """PCA + vmapped GP fit for one emulation group; returns the artifact dict.
+
+    Returns {} when the output file already exists and force_retrain is False.
+    """
+    if not _fit_gate_open(config):
+        return {}
+    prep = _prepare_group(config, n_opt_iters)
+    spec = prep["spec"]
+    logger.info(
+        f"Fitting {prep['n_pc']} GPs x {spec.n_restarts + 1} restarts (design: {prep['design'].shape})..."
+    )
+    posts = gp_fit.fit_gps(
+        spec, jnp.asarray(prep["design"], prep["Y_pca_truncated"].dtype),
+        prep["Y_pca_truncated"], jax.random.key(seed),
+    )
+    _log_fit_summary(posts)
+    return _artifact_from_fit(config, prep, posts)
+
+
+def _specs_compatible(a, b) -> bool:
+    return (
+        a.cfg == b.cfg
+        and a.n_restarts == b.n_restarts
+        and a.n_iters == b.n_iters
+        and a.alpha_jitter == b.alpha_jitter
+        and np.array_equal(np.asarray(a.theta0), np.asarray(b.theta0))
+        and np.array_equal(np.asarray(a.log_lo), np.asarray(b.log_lo))
+        and np.array_equal(np.asarray(a.log_hi), np.asarray(b.log_hi))
+    )
 
 
 def fit_emulators(emulation_config: EmulationConfig, seed: int = 0, n_opt_iters: int = 100) -> None:
-    """Fit and persist every emulation group (reference fit_emulators, emulation.py:38-50)."""
+    """Fit and persist every emulation group (reference fit_emulators, emulation.py:38-50).
+
+    When all pending groups share identical fit settings (the common case:
+    YAML anchor-shared emulator parameters), their PCs are fitted in ONE fused
+    device launch — one XLA compile and one fully-batched optimization instead
+    of one per group.
+    """
+    pending: dict[str, dict[str, Any]] = {}
     for name, group_config in emulation_config.emulation_groups_config.items():
-        artifact = fit_emulator_group(group_config, seed=seed, n_opt_iters=n_opt_iters)
-        if artifact:
-            write_emulators(group_config, artifact)
+        if _fit_gate_open(group_config):
+            pending[name] = _prepare_group(group_config, n_opt_iters)
+    if not pending:
+        return
+
+    names = list(pending)
+    specs = [pending[n]["spec"] for n in names]
+    fuse = len(names) > 1 and all(_specs_compatible(specs[0], s) for s in specs[1:])
+
+    if fuse:
+        spec = specs[0]
+        Y_all = jnp.concatenate([pending[n]["Y_pca_truncated"] for n in names], axis=1)
+        design = jnp.asarray(pending[names[0]]["design"], Y_all.dtype)
+        logger.info(
+            f"Fused GP fit: {Y_all.shape[1]} PCs across {len(names)} groups x "
+            f"{spec.n_restarts + 1} restarts (design: {design.shape})..."
+        )
+        posts_all = gp_fit.fit_gps(spec, design, Y_all, jax.random.key(seed))
+        # One device->host transfer, then pure-numpy slicing (eager device
+        # slices would compile one tiny program per offset on TPU).
+        posts_all = jax.tree.map(np.asarray, posts_all)
+        offset = 0
+        for n in names:
+            k = pending[n]["n_pc"]
+            posts = jax.tree.map(lambda x, o=offset, k=k: x[o : o + k], posts_all)
+            _log_fit_summary(posts)
+            artifact = _artifact_from_fit(emulation_config.emulation_groups_config[n], pending[n], posts)
+            write_emulators(emulation_config.emulation_groups_config[n], artifact)
+            offset += k
+    else:
+        for n in names:
+            prep = pending[n]
+            spec = prep["spec"]
+            posts = gp_fit.fit_gps(
+                spec, jnp.asarray(prep["design"], prep["Y_pca_truncated"].dtype),
+                prep["Y_pca_truncated"], jax.random.key(seed),
+            )
+            _log_fit_summary(posts)
+            artifact = _artifact_from_fit(emulation_config.emulation_groups_config[n], prep, posts)
+            write_emulators(emulation_config.emulation_groups_config[n], artifact)
 
 
 def write_emulators(config: EmulationGroupConfig, artifact: dict[str, Any]) -> None:
@@ -286,7 +371,7 @@ def predict_emulation_group(
         emulator_group_cov_unexplained = np.asarray(pca_mod.truncation_covariance(state, n_pc))
 
     theta = jnp.asarray(parameters, state.components.dtype)
-    z, v = gp_mod.predict_all(cfg, posts, theta)  # (B, k), (B, k)
+    z, v = gp_mod.predict_all_jit(cfg, posts, theta)  # (B, k), (B, k)
     z, v = np.asarray(z), np.asarray(v)
 
     S_k = np.asarray(state.components[:n_pc])         # (k, F)

@@ -97,3 +97,15 @@ def predict_all(cfg: KernelConfig, posts: GPPosterior, theta: jax.Array) -> tupl
     """Batched over stacked GPs: posts has leading axis k; returns ((B, k), (B, k))."""
     mean, var = jax.vmap(lambda p: predict(cfg, p, theta))(posts)
     return mean.T, var.T
+
+
+# Jitted wrappers for host-facing (eager) callers: on TPU every eager op
+# dispatch is expensive, so setup factorizations and batch predictions must
+# each be a single compiled program.
+posterior_from_params_jit = jax.jit(posterior_from_params)
+posteriors_from_params_stacked = jax.jit(
+    lambda cfg, params, X, Y_cols, alpha_jitter: jax.vmap(
+        lambda p, y: posterior_from_params(cfg, p, X, y, alpha_jitter)
+    )(params, Y_cols)
+)
+predict_all_jit = jax.jit(predict_all)

@@ -118,12 +118,30 @@ def fit_gps(
     X: jax.Array,
     Y_pc: jax.Array,
     key: jax.Array,
+    mesh=None,
 ) -> GPPosterior:
     """Fit one GP per column of Y_pc (N, k); returns GPPosterior stacked on axis 0.
 
     For each PC: one run from spec.theta0 plus spec.n_restarts runs from
     uniform-in-log-bounds initial points; the best LML wins (sklearn semantics).
+    All (PC, restart) instances optimize in one vmapped launch (ONE compiled
+    program including the posterior build); with ``mesh`` the flattened
+    instance axis is sharded across devices (each chip optimizes its share of
+    restarts; the only collective is the final argmin gather).
     """
+    return _fit_gps_impl(spec, X, Y_pc, key, mesh=mesh)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _fit_gps_impl(
+    spec: GPFitSpec,
+    X: jax.Array,
+    Y_pc: jax.Array,
+    key: jax.Array,
+    mesh=None,
+) -> GPPosterior:
+    from bayesian_inference_tpu.parallel.mesh import shard_leading_axis
+
     N, k = Y_pc.shape
     P = spec.theta0.shape[0]
     R = spec.n_restarts + 1
@@ -136,12 +154,19 @@ def fit_gps(
     u0_rand = jax.vmap(jax.vmap(lambda lt: _to_u(spec, lt)))(rand_logs)
     u0 = jnp.concatenate([jnp.broadcast_to(u0_first, (k, 1, P)), u0_rand], axis=1)  # (k, R, P)
 
-    def fit_one_pc(u0_pc: jax.Array, y: jax.Array):
-        best_u, best_v = jax.vmap(lambda u: _optimize_single(u, spec, X, y))(u0_pc)
-        i = jnp.argmin(best_v)
-        return best_u[i]
+    # Flatten (PC, restart) -> instances so the batch shards evenly over a mesh.
+    u0_flat = shard_leading_axis(u0.reshape(k * R, P), mesh)
+    y_flat = shard_leading_axis(jnp.repeat(Y_pc.T, R, axis=0), mesh)  # (k*R, N)
 
-    best_us = jax.vmap(fit_one_pc)(u0, Y_pc.T)  # (k, P)
+    best_u_flat, best_v_flat = jax.vmap(
+        lambda u, y: _optimize_single(u, spec, X, y)
+    )(u0_flat, y_flat)
+
+    best_u = best_u_flat.reshape(k, R, P)
+    best_v = best_v_flat.reshape(k, R)
+    best_us = jnp.take_along_axis(
+        best_u, jnp.argmin(best_v, axis=1)[:, None, None], axis=1
+    )[:, 0, :]  # (k, P)
 
     def build(u: jax.Array, y: jax.Array) -> GPPosterior:
         params = unpack_params(spec.cfg, _to_log_theta(spec, u), X.shape[1])

@@ -65,13 +65,15 @@ class PCAState:
         return cls(**{k: jnp.asarray(v) for k, v in d.items()})
 
 
-def _svd_sign_flip(U: jax.Array, Vt: jax.Array) -> tuple[jax.Array, jax.Array]:
+def _svd_sign_flip(U, Vt):
     """sklearn's svd_flip(u_based_decision=False), the PCA full-solver
     convention: per-row of Vt, flip so the largest-|.| entry is positive;
-    apply the same flip to the columns of U."""
-    idx = jnp.argmax(jnp.abs(Vt), axis=1)
-    signs = jnp.sign(Vt[jnp.arange(Vt.shape[0]), idx])
-    signs = jnp.where(signs == 0, 1.0, signs)
+    apply the same flip to the columns of U. (host-side numpy)"""
+    import numpy as np
+
+    idx = np.argmax(np.abs(Vt), axis=1)
+    signs = np.sign(Vt[np.arange(Vt.shape[0]), idx])
+    signs[signs == 0] = 1.0
     return U * signs, Vt * signs[:, None]
 
 
@@ -80,30 +82,39 @@ def fit_pca(Y: jax.Array, max_n_components: int | None = None) -> tuple[PCAState
 
     ``max_n_components`` caps how many PCs are kept (the reference's
     max_n_components_to_calculate, emulation.py:112-115).
-    """
-    Y = jnp.asarray(Y)
-    n_samples = Y.shape[0]
-    mean = jnp.mean(Y, axis=0)
-    scale = jnp.std(Y, axis=0)
-    scale = jnp.where(scale == 0.0, 1.0, scale)
-    Y_scaled = (Y - mean) / scale
 
-    U, s, Vt = jnp.linalg.svd(Y_scaled, full_matrices=False)
+    The SVD itself runs on the host (LAPACK, float64): this is a one-time
+    setup factorization of a ~(200, 215) matrix — microseconds on CPU, while
+    iterative SVD of tiny matrices is an anti-pattern on TPU. Outputs are
+    device arrays in the input dtype; everything downstream stays on-chip.
+    """
+    import numpy as np
+
+    dtype = jnp.asarray(Y).dtype if hasattr(Y, "dtype") else jnp.zeros(()).dtype
+    Yh = np.asarray(Y, np.float64)
+    n_samples = Yh.shape[0]
+    mean = Yh.mean(axis=0)
+    scale = Yh.std(axis=0)
+    scale[scale == 0.0] = 1.0
+    Y_scaled = (Yh - mean) / scale
+
+    U, s, Vt = np.linalg.svd(Y_scaled, full_matrices=False)
     U, Vt = _svd_sign_flip(U, Vt)
+    U, Vt, s = np.asarray(U), np.asarray(Vt), np.asarray(s)
 
     explained_variance = (s**2) / (n_samples - 1)
-    ratio = explained_variance / jnp.sum(explained_variance)
+    ratio = explained_variance / explained_variance.sum()
 
     k = min(max_n_components, s.shape[0]) if max_n_components is not None else s.shape[0]
     state = PCAState(
-        mean=mean,
-        scale=scale,
-        components=Vt[:k],
-        explained_variance=explained_variance[:k],
-        explained_variance_ratio=ratio[:k],
-        singular_values=s[:k],
+        mean=jnp.asarray(mean, dtype),
+        scale=jnp.asarray(scale, dtype),
+        components=jnp.asarray(Vt[:k], dtype),
+        explained_variance=jnp.asarray(explained_variance[:k], dtype),
+        explained_variance_ratio=jnp.asarray(ratio[:k], dtype),
+        singular_values=jnp.asarray(s[:k], dtype),
     )
-    Y_pca = U[:, :k] * s[:k]
+    Y_pca = jnp.asarray(U[:, :k] * s[:k], dtype)
     return state, Y_pca
 
 
