@@ -30,6 +30,17 @@ from bayesian_inference_tpu.io.observables import (
 
 logger = logging.getLogger(__name__)
 
+try:  # native single-pass parser (io/_fast_tables.c); numpy fallback
+    from bayesian_inference_tpu.io import _fast_tables
+
+    def load_table(path) -> npt.NDArray[np.float64]:
+        return _fast_tables.loadtxt(str(path))
+
+except ImportError:  # pragma: no cover - extension not built
+
+    def load_table(path) -> npt.NDArray[np.float64]:
+        return np.loadtxt(path, ndmin=2)
+
 
 def parse_table_filename(filename: str) -> tuple[str | None, str | None]:
     """Return (observable_label, parameterization) encoded in a table filename."""
@@ -157,7 +168,7 @@ def initialize_observables_dict_from_tables(
     for filename in os.listdir(data_dir):
         if not accept_observable(analysis_config, filename):
             continue
-        table = np.loadtxt(os.path.join(data_dir, filename), ndmin=2)
+        table = load_table(os.path.join(data_dir, filename))
         label, _ = parse_table_filename(filename)
         entry = {"xmin": table[:, 0], "xmax": table[:, 1], "y": table[:, 2], "y_err": table[:, 3]}
         if 0 in entry["y"]:
@@ -169,7 +180,7 @@ def initialize_observables_dict_from_tables(
     for filename in os.listdir(design_dir):
         if parse_table_filename(filename)[1] != parameterization:
             continue
-        params = np.loadtxt(os.path.join(design_dir, filename), ndmin=2)
+        params = load_table(os.path.join(design_dir, filename))
         ids = read_design_points_from_design_dat(table_dir, parameterization)
         train_idx, train_ids, val_idx, val_ids = split_training_validation_indices(
             ids, validation_indices, exclude
@@ -188,8 +199,8 @@ def initialize_observables_dict_from_tables(
             continue
 
         label, _ = parse_table_filename(filename)
-        values = np.loadtxt(os.path.join(prediction_dir, filename), ndmin=2)
-        errors = np.loadtxt(os.path.join(prediction_dir, filename.replace("values", "errors")), ndmin=2)
+        values = load_table(os.path.join(prediction_dir, filename))
+        errors = load_table(os.path.join(prediction_dir, filename.replace("values", "errors")))
 
         if label not in observables["Data"]:
             raise ValueError(f"{label} not found in observables[Data]: {list(observables['Data'])}")
