@@ -177,6 +177,14 @@ def build_likelihood(
                     D_full[gs_i, gs_j] += sigma_group[gname][grp_i, grp_j]
         wb = build_woodbury(jnp.asarray(D_full, dtype), jnp.asarray(U_full, dtype), jnp.asarray(d0_full, dtype))
 
+    # Fuse groups with identical kernel structure into ONE stacked GP batch:
+    # z/v columns stay in group order (matching the U column offsets), but the
+    # device sees a single batched matmul over all 41 PCs instead of one
+    # launch per group.
+    if len(groups) > 1 and all(g.cfg == groups[0].cfg for g in groups[1:]):
+        fused_posts = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *(g.posts for g in groups))
+        groups = [GroupGPs(cfg=groups[0].cfg, posts=fused_posts)]
+
     return EmulatorLikelihood(
         groups=tuple(groups),
         theta_min=jnp.asarray(theta_min, dtype),

@@ -56,7 +56,13 @@ def unpack_params(cfg: KernelConfig, flat: jax.Array, ndim: int) -> KernelParams
 
 @struct.dataclass
 class GPFitSpec:
-    """Everything needed to fit the stack of per-PC GPs."""
+    """Everything needed to fit the stack of per-PC GPs.
+
+    Successive halving: every restart runs ``halving_iters`` L-BFGS iterations,
+    then only the best ``halving_keep`` restarts per PC continue for the
+    remaining ``n_iters - halving_iters`` (most random restarts land in bad
+    basins; no point polishing them). Set halving_keep=0 to disable.
+    """
 
     cfg: KernelConfig
     theta0: jax.Array  # (P,)  initial log hyperparameters (sklearn's first run)
@@ -65,6 +71,8 @@ class GPFitSpec:
     n_restarts: int = struct.field(pytree_node=False, default=50)
     n_iters: int = struct.field(pytree_node=False, default=100)
     alpha_jitter: float = struct.field(pytree_node=False, default=1e-10)
+    halving_iters: int = struct.field(pytree_node=False, default=15)
+    halving_keep: int = struct.field(pytree_node=False, default=4)
 
 
 def _to_log_theta(spec: GPFitSpec, u: jax.Array) -> jax.Array:
@@ -84,10 +92,21 @@ def _neg_lml_u(u: jax.Array, spec: GPFitSpec, X: jax.Array, y: jax.Array) -> jax
     return jnp.where(jnp.isfinite(lml), -lml, jnp.asarray(jnp.inf, lml.dtype))
 
 
-def _optimize_single(u0: jax.Array, spec: GPFitSpec, X: jax.Array, y: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """L-BFGS from one start; returns (best_u, best_neg_lml)."""
+def _optimize_single(
+    u0: jax.Array, spec: GPFitSpec, X: jax.Array, y: jax.Array, n_iters: int
+) -> tuple[jax.Array, jax.Array]:
+    """L-BFGS from one start; returns (best_u, best_neg_lml).
+
+    Backtracking linesearch (1-3 extra evaluations per step) instead of the
+    zoom linesearch: under vmap, zoom's while-loop runs until EVERY instance
+    converges (~30 masked evaluations per step at production batch sizes).
+    """
     obj = partial(_neg_lml_u, spec=spec, X=X, y=y)
-    opt = optax.lbfgs()
+    opt = optax.lbfgs(
+        linesearch=optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=12, store_grad=True
+        )
+    )
     state0 = opt.init(u0)
     v0 = obj(u0)
 
@@ -106,7 +125,7 @@ def _optimize_single(u0: jax.Array, spec: GPFitSpec, X: jax.Array, y: jax.Array)
         return (u_new, opt_state, best_u, best_v), None
 
     (u_f, _, best_u, best_v), _ = jax.lax.scan(
-        step, (u0, state0, u0, v0), None, length=spec.n_iters
+        step, (u0, state0, u0, v0), None, length=n_iters
     )
     v_f = obj(u_f)
     final_better = v_f < best_v
@@ -155,15 +174,32 @@ def _fit_gps_impl(
     u0 = jnp.concatenate([jnp.broadcast_to(u0_first, (k, 1, P)), u0_rand], axis=1)  # (k, R, P)
 
     # Flatten (PC, restart) -> instances so the batch shards evenly over a mesh.
+    halve = 0 < spec.halving_keep < R and spec.n_iters > spec.halving_iters
+    iters1 = spec.halving_iters if halve else spec.n_iters
+
     u0_flat = shard_leading_axis(u0.reshape(k * R, P), mesh)
     y_flat = shard_leading_axis(jnp.repeat(Y_pc.T, R, axis=0), mesh)  # (k*R, N)
-
-    best_u_flat, best_v_flat = jax.vmap(
-        lambda u, y: _optimize_single(u, spec, X, y)
+    u1_flat, v1_flat = jax.vmap(
+        lambda u, y: _optimize_single(u, spec, X, y, iters1)
     )(u0_flat, y_flat)
 
-    best_u = best_u_flat.reshape(k, R, P)
-    best_v = best_v_flat.reshape(k, R)
+    if halve:
+        keep = spec.halving_keep
+        u1 = u1_flat.reshape(k, R, P)
+        v1 = v1_flat.reshape(k, R)
+        top = jnp.argsort(v1, axis=1)[:, :keep]                      # (k, keep)
+        u_sel = jnp.take_along_axis(u1, top[:, :, None], axis=1)     # (k, keep, P)
+        u2_flat = shard_leading_axis(u_sel.reshape(k * keep, P), mesh)
+        y2_flat = shard_leading_axis(jnp.repeat(Y_pc.T, keep, axis=0), mesh)
+        u2, v2 = jax.vmap(
+            lambda u, y: _optimize_single(u, spec, X, y, spec.n_iters - iters1)
+        )(u2_flat, y2_flat)
+        best_u = u2.reshape(k, keep, P)
+        best_v = v2.reshape(k, keep)
+    else:
+        best_u = u1_flat.reshape(k, R, P)
+        best_v = v1_flat.reshape(k, R)
+
     best_us = jnp.take_along_axis(
         best_u, jnp.argmin(best_v, axis=1)[:, None, None], axis=1
     )[:, 0, :]  # (k, P)
