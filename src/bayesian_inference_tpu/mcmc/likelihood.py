@@ -72,9 +72,11 @@ class EmulatorLikelihood:
     def log_likelihood(self, theta: jax.Array) -> jax.Array:
         z, v = self.gp_eval(theta)
         if self.mode == "block":
+            from bayesian_inference_tpu.ops.pallas_mvn import block_mvn_loglike
+
             dY = self.d0 + jnp.einsum("bfk,wk->wbf", self.U, z)
             C = self.D + jnp.einsum("bfk,wk,bgk->wbfg", self.U, v, self.U)
-            ll = mvn_loglike_dense(dY, C)          # (W, n_obs)
+            ll = block_mvn_loglike(dY, C)          # (W, n_obs); fused Pallas kernel on TPU
             return jnp.sum(ll, axis=-1)
         if self.mode == "lowrank":
             return woodbury_loglike(self.wb, z, v)
