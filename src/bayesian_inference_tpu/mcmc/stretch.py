@@ -76,22 +76,22 @@ def step(
 
     x = state.coords[perm]
     logp = state.log_prob[perm]
-    acc = jnp.zeros(W, dtype=bool)
 
+    # Build the updated permuted ensemble by concatenation (no scatter): the
+    # second half's complementary set is exactly the freshly updated first
+    # half. (A previous formulation using x.at[:half].set(...) + final gather
+    # was miscompiled under jit on CPU — coords/logp lost alignment.)
     x0, lp0, a0 = _stretch_half(k_h0, x[:half], logp[:half], x[half:], log_prob_fn, a)
-    x = x.at[:half].set(x0)
-    logp = logp.at[:half].set(lp0)
-    acc = acc.at[:half].set(a0)
+    x1, lp1, a1 = _stretch_half(k_h1, x[half:], logp[half:], x0, log_prob_fn, a)
 
-    x1, lp1, a1 = _stretch_half(k_h1, x[half:], logp[half:], x[:half], log_prob_fn, a)
-    x = x.at[half:].set(x1)
-    logp = logp.at[half:].set(lp1)
-    acc = acc.at[half:].set(a1)
+    x_new = jnp.concatenate([x0, x1], axis=0)[inv]
+    logp_new = jnp.concatenate([lp0, lp1], axis=0)[inv]
+    acc_new = jnp.concatenate([a0, a1], axis=0)[inv]
 
     return EnsembleState(
-        coords=x[inv],
-        log_prob=logp[inv],
-        n_accepted=state.n_accepted + acc[inv].astype(jnp.int32),
+        coords=x_new,
+        log_prob=logp_new,
+        n_accepted=state.n_accepted + acc_new.astype(jnp.int32),
         key=key,
     )
 

@@ -207,3 +207,22 @@ def test_integrated_time_raises_on_short_chain():
     x = np.cumsum(rng.normal(size=(100, 4, 1)), axis=0)  # random walk: huge tau
     with pytest.raises(stats.AutocorrError):
         stats.integrated_time(x)
+
+
+def test_logp_chain_self_consistency_under_jit():
+    """Regression: stored log_prob must track coords exactly through jitted
+    steps (an earlier scatter-based step assembly was miscompiled under jit,
+    silently corrupting the chain)."""
+    from bayesian_inference_tpu.mcmc import stretch
+
+    def lp(x):
+        a, b = x[:, 0], x[:, 1]
+        return -0.5 * (a**2 / 4.0 + (b - 0.25 * a**2) ** 2)
+
+    x0 = np.random.default_rng(0).normal(size=(16, 2))
+    s = stretch.init_state(jax.random.key(0), lp, jnp.asarray(x0))
+    jitted_step = jax.jit(lambda st: stretch.step(st, lp))
+    for _ in range(100):
+        s = jitted_step(s)
+    err = np.abs(np.asarray(s.log_prob) - np.asarray(lp(s.coords))).max()
+    assert err < 1e-12, err
