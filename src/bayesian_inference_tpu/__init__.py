@@ -9,3 +9,17 @@ running on-chip.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# TPU MXU matmuls default to bfloat16 passes for float32 inputs. For this
+# workload that is catastrophic, not cosmetic: the covariance-block assembly
+# einsums pick up ~1e-3 absolute noise, flipping marginally-positive-definite
+# blocks negative (NaN Cholesky) and roughening the log-posterior surface
+# enough to collapse MCMC acceptance. Force full float32 precision throughout;
+# opt out with BIQ_MATMUL_PRECISION=default if a future workload wants speed
+# over exactness.
+if _os.environ.get("BIQ_MATMUL_PRECISION", "highest") == "highest":
+    _jax.config.update("jax_default_matmul_precision", "highest")

@@ -55,16 +55,19 @@ class KernelParams:
 
 
 def _scaled_sqdist(X1: jax.Array, X2: jax.Array, length_scale: jax.Array) -> jax.Array:
-    """||(x-y)/ls||^2 for all pairs; (n1, n2)."""
+    """||(x-y)/ls||^2 for all pairs; (n1, n2).
+
+    Computed from explicit differences. The MXU-friendly expansion
+    a^2 + b^2 - 2ab suffers catastrophic cancellation in float32 when pair
+    distances are small relative to coordinate magnitudes — at the fitted
+    length scales of this problem that noise propagates through K^{-1}y into
+    the GP mean and wrecks MCMC acceptance. ndim here is ~6, so the direct
+    (n1, n2, ndim) broadcast is cheap and exact.
+    """
     A = X1 / length_scale
     B = X2 / length_scale
-    # (a-b)^2 = a^2 + b^2 - 2ab -- MXU-friendly via the cross matmul
-    sq = (
-        jnp.sum(A * A, axis=-1)[:, None]
-        + jnp.sum(B * B, axis=-1)[None, :]
-        - 2.0 * A @ B.T
-    )
-    return jnp.maximum(sq, 0.0)
+    diff = A[:, None, :] - B[None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
 
 
 def matern_from_sqdist(sq: jax.Array, nu: float | None) -> jax.Array:
