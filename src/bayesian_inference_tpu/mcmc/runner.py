@@ -87,17 +87,12 @@ def run_mcmc(
         k_init, (config.n_walkers, ndim), minval=like.theta_min, maxval=like.theta_max, dtype=dt
     )
 
-    # All three phases dispatch ONE shared compiled scan program: pick a chunk
-    # size dividing every phase length (distinct scan programs cost tens of
-    # seconds of XLA compile time each on TPU).
-    import math
-
+    # One dispatch per phase: device dispatch round trips dominate at small
+    # chunk sizes (the chain buffer fits HBM easily), and the persistent
+    # compilation cache absorbs the per-program compile cost across runs.
     nburn0 = config.n_burn_steps // 2
     nburn1 = config.n_burn_steps - nburn0
-    chunk = math.gcd(math.gcd(nburn0, nburn1), config.n_sampling_steps)
-    chunk = max(1, min(chunk, 2000))
-    if nburn0 % chunk or nburn1 % chunk or config.n_sampling_steps % chunk:
-        chunk = None  # fall back to one program per phase
+    chunk = None
 
     # --- burn-in phase 1 -------------------------------------------------------
     logger.info(f"Burn-in phase 1: {config.n_walkers} walkers x {nburn0} steps (chunk={chunk})")

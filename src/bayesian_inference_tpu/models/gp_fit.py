@@ -179,9 +179,12 @@ def _fit_gps_impl(
 
     u0_flat = shard_leading_axis(u0.reshape(k * R, P), mesh)
     y_flat = shard_leading_axis(jnp.repeat(Y_pc.T, R, axis=0), mesh)  # (k*R, N)
-    u1_flat, v1_flat = jax.vmap(
-        lambda u, y: _optimize_single(u, spec, X, y, iters1)
-    )(u0_flat, y_flat)
+    # Exploration stage: basin selection tolerates reduced matmul precision
+    # (~6x cheaper on the MXU); the survivors are re-polished at full float32.
+    with jax.default_matmul_precision("default"):
+        u1_flat, v1_flat = jax.vmap(
+            lambda u, y: _optimize_single(u, spec, X, y, iters1)
+        )(u0_flat, y_flat)
 
     if halve:
         keep = spec.halving_keep
