@@ -33,11 +33,16 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
+import logging
+
+logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                    format="%(asctime)s %(name)s: %(message)s")
+
 N_WALKERS = int(os.environ.get("BENCH_WALKERS", "100"))
 N_BURN = int(os.environ.get("BENCH_BURN", "1000"))
 N_STEPS = int(os.environ.get("BENCH_STEPS", "50000"))
 N_RESTARTS = int(os.environ.get("BENCH_RESTARTS", "50"))
-N_OPT_ITERS = int(os.environ.get("BENCH_OPT_ITERS", "100"))
+N_OPT_ITERS = int(os.environ.get("BENCH_OPT_ITERS", "60"))
 
 _EXP_MIN = [0.1, 1, 0.006737946999085467, 0.006737946999085467, 0, 0.049787068367863944]
 _EXP_MAX = [0.5, 10, 10, 10, 1.5, 100]

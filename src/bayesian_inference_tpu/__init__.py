@@ -21,5 +21,9 @@ import jax as _jax
 # enough to collapse MCMC acceptance. Force full float32 precision throughout;
 # opt out with BIQ_MATMUL_PRECISION=default if a future workload wants speed
 # over exactness.
-if _os.environ.get("BIQ_MATMUL_PRECISION", "highest") == "highest":
-    _jax.config.update("jax_default_matmul_precision", "highest")
+_precision = _os.environ.get("BIQ_MATMUL_PRECISION", "high")
+if _precision != "default":
+    # "high" (three bf16 passes) recovers ~float32 accuracy at ~2x the cost of
+    # a single pass — sufficient for positive-definite covariance assembly.
+    # "highest" (six passes) is available for paranoia via the env var.
+    _jax.config.update("jax_default_matmul_precision", _precision)

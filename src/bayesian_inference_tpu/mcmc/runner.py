@@ -94,10 +94,15 @@ def run_mcmc(
     nburn1 = config.n_burn_steps - nburn0
     chunk = None
 
+    import time as _time
+
     # --- burn-in phase 1 -------------------------------------------------------
-    logger.info(f"Burn-in phase 1: {config.n_walkers} walkers x {nburn0} steps (chunk={chunk})")
+    logger.info(f"Burn-in phase 1: {config.n_walkers} walkers x {nburn0} steps")
+    _t = _time.perf_counter()
     key, k1 = jax.random.split(key)
     out1 = run_ensemble(k1, log_prob_fn, x0, nburn0, chunk_size=chunk)
+    jax.block_until_ready(out1["coords"])
+    logger.info(f"burn-1 dispatch+exec: {_time.perf_counter() - _t:.2f}s")
 
     # --- reposition walkers at top-likelihood points (host, reference parity) ---
     x_top = resample_walkers_to_top_positions(
@@ -105,17 +110,25 @@ def run_mcmc(
     )
     logger.info("Resampled walker positions; burn-in phase 2")
 
+    _t = _time.perf_counter()
     key, k2 = jax.random.split(key)
     out2 = run_ensemble(k2, log_prob_fn, jnp.asarray(x_top, dt), nburn1, chunk_size=chunk)
+    jax.block_until_ready(out2["coords"])
+    logger.info(f"burn-2 dispatch+exec: {_time.perf_counter() - _t:.2f}s")
 
     # --- production -------------------------------------------------------------
     logger.info(f"Production: {config.n_sampling_steps} steps")
+    _t = _time.perf_counter()
     key, k3 = jax.random.split(key)
     out3 = run_ensemble(k3, log_prob_fn, out2["coords"], config.n_sampling_steps, chunk_size=chunk)
+    jax.block_until_ready(out3["coords"])
+    logger.info(f"production dispatch+exec: {_time.perf_counter() - _t:.2f}s")
 
+    _t = _time.perf_counter()
     chain = np.asarray(out3["chain"])
     log_prob = np.asarray(out3["log_prob"])
     acceptance_fraction = np.asarray(out3["acceptance_fraction"])
+    logger.info(f"chain download ({chain.nbytes / 1e6:.0f} MB): {_time.perf_counter() - _t:.2f}s")
     af = acceptance_fraction
     logger.info(
         f"acceptance fraction: mean {af.mean():.3f}, std {af.std():.3f}, min {af.min():.3f}, max {af.max():.3f}"

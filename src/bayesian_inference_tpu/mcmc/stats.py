@@ -80,13 +80,16 @@ def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet
     if chain.ndim == 2:
         chain = chain[:, :, None]
     n_t, n_w, n_d = chain.shape
+    # Batched FFT over all (walker, dim) series at once.
+    n = _next_pow_two(n_t)
+    x = chain - chain.mean(axis=0)
+    f = np.fft.fft(x, n=2 * n, axis=0)
+    acf = np.fft.ifft(f * np.conjugate(f), axis=0)[:n_t].real  # (n_t, n_w, n_d)
+    acf /= np.where(acf[0] == 0.0, 1.0, acf[0])
+    mean_acf = acf.mean(axis=1)  # (n_t, n_d)
     tau_est = np.empty(n_d)
     for d in range(n_d):
-        f = np.zeros(n_t)
-        for w in range(n_w):
-            f += autocorr_function_1d(chain[:, w, d])
-        f /= n_w
-        taus = 2.0 * np.cumsum(f) - 1.0
+        taus = 2.0 * np.cumsum(mean_acf[:, d]) - 1.0
         tau_est[d] = taus[_auto_window(taus, c)]
 
     if np.any(tol * tau_est > n_t):

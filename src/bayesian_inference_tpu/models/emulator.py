@@ -122,7 +122,7 @@ def _artifact_from_fit(config: EmulationGroupConfig, prep: dict[str, Any], posts
 def fit_emulator_group(
     config: EmulationGroupConfig,
     seed: int = 0,
-    n_opt_iters: int = 100,
+    n_opt_iters: int = 60,
 ) -> dict[str, Any]:
     """PCA + vmapped GP fit for one emulation group; returns the artifact dict.
 
@@ -155,7 +155,7 @@ def _specs_compatible(a, b) -> bool:
     )
 
 
-def fit_emulators(emulation_config: EmulationConfig, seed: int = 0, n_opt_iters: int = 100) -> None:
+def fit_emulators(emulation_config: EmulationConfig, seed: int = 0, n_opt_iters: int = 60) -> None:
     """Fit and persist every emulation group (reference fit_emulators, emulation.py:38-50).
 
     When all pending groups share identical fit settings (the common case:
