@@ -1,0 +1,118 @@
+"""Posterior-parity report: device fp32 pipeline vs CPU float64 vs an
+independent numpy stretch-move reference, on the real fixture.
+
+Usage:
+    python scripts/parity_check.py            # CPU f64 vs CPU f32 + numpy ref
+    JAX_PLATFORMS=<tpu> python scripts/parity_check.py --device  # device run
+
+Produces KS statistics and quantile differences per parameter; this is the
+statistical-parity evidence for the BASELINE.json north star ("posteriors
+match CPU emcee within MC error" — emcee itself is unavailable here, so the
+reference is a clean-room numpy implementation of the same published
+algorithm, tests/reference_stretch.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO / "src"))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--device", action="store_true",
+                        help="run on the default jax device (else force CPU f64)")
+    parser.add_argument("--steps", type=int, default=8000)
+    parser.add_argument("--burn", type=int, default=2000)
+    parser.add_argument("--walkers", type=int, default=64)
+    args = parser.parse_args()
+
+    import jax
+
+    if not args.device:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from scipy.stats import ks_2samp
+
+    from bayesian_inference_tpu import io
+    from bayesian_inference_tpu.mcmc.likelihood import build_likelihood
+    from bayesian_inference_tpu.mcmc.stats import integrated_time
+    from bayesian_inference_tpu.mcmc.stretch import run_ensemble
+    from bayesian_inference_tpu.models import emulator
+    from bayesian_inference_tpu.pipeline.configs import EmulationConfig, load_yaml
+    from conftest import make_analysis_yaml
+    from reference_stretch import run_stretch_numpy
+
+    tmp = Path(tempfile.mkdtemp())
+    config_path, analysis_name, param = make_analysis_yaml(tmp, n_restarts=5)
+    analysis_config = load_yaml(config_path)["analyses"][analysis_name]
+    emu_config = EmulationConfig.from_config_file(
+        analysis_name=analysis_name, parameterization=param,
+        config_file=str(config_path), analysis_config=analysis_config,
+    )
+    emulator.fit_emulators(emu_config)
+    results = emu_config.read_all_emulator_groups()
+    exp = io.data_array_from_h5(emu_config.output_dir, "observables.h5",
+                                observable_filter=emu_config.observable_filter)
+    pspec = analysis_config["parameterization"][param]
+    like = build_likelihood(emu_config, results, exp,
+                            theta_min=pspec["min"], theta_max=pspec["max"])
+
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(pspec["min"], pspec["max"], (args.walkers, len(pspec["min"])))
+    x0 = 0.5 * (x0 + np.mean([pspec["min"], pspec["max"]], axis=0))
+
+    print(f"# backend: {jax.default_backend()} dtype: {like.theta_min.dtype}", file=sys.stderr)
+    out = run_ensemble(jax.random.key(1), like.log_posterior,
+                       jnp.asarray(x0, like.theta_min.dtype), args.steps)
+    chain = np.asarray(out["chain"])[args.burn:]
+    acc = float(np.asarray(out["acceptance_fraction"]).mean())
+
+    logp_jit = jax.jit(like.log_posterior)
+    chain_np, _, acc_np = run_stretch_numpy(
+        rng, lambda x: np.asarray(logp_jit(jnp.asarray(x, like.theta_min.dtype))),
+        x0, args.steps,
+    )
+    chain_np = chain_np[args.burn:]
+
+    s1 = chain.reshape(-1, chain.shape[-1])
+    s2 = chain_np.reshape(-1, chain.shape[-1])
+    tau = max(
+        integrated_time(chain, quiet=True).max(),
+        integrated_time(chain_np, quiet=True).max(),
+    )
+    thin = max(1, int(np.ceil(tau)))
+    width = np.asarray(pspec["max"]) - np.asarray(pspec["min"])
+
+    report = {
+        "backend": jax.default_backend(),
+        "acceptance_ours": round(acc, 4),
+        "acceptance_numpy_ref": round(float(acc_np.mean()), 4),
+        "tau_max": round(float(tau), 1),
+        "per_parameter": [],
+    }
+    for d in range(s1.shape[1]):
+        ks = ks_2samp(s1[::thin, d], s2[::thin, d])
+        report["per_parameter"].append({
+            "dim": d,
+            "ks_stat": round(float(ks.statistic), 4),
+            "ks_pvalue": round(float(ks.pvalue), 4),
+            "median_diff_over_prior_width": round(
+                float(abs(np.median(s1[:, d]) - np.median(s2[:, d])) / width[d]), 5
+            ),
+        })
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

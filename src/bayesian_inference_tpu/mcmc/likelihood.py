@@ -126,12 +126,12 @@ def build_likelihood(
     m0_group: dict[str, np.ndarray] = {}
     sigma_group: dict[str, np.ndarray] = {}
     k_total = 0
+    host_posts = []
     for name in group_names:
         cfg_g = emulation_config.emulation_groups_config[name]
         art = emulation_results[name]
-        kernel_cfg, posts = emulator_mod.posterior_from_artifact(art)
-        posts = jax.tree.map(lambda x: jnp.asarray(x, dtype), posts)
-        groups.append(GroupGPs(cfg=kernel_cfg, posts=posts))
+        kernel_cfg, posts = emulator_mod.posterior_from_artifact(art, device=False)
+        host_posts.append((kernel_cfg, posts))
 
         n_pc = cfg_g.n_pc
         S_k = np.asarray(art["PCA"]["components"])[:n_pc]  # (k_g, F_g)
@@ -182,10 +182,20 @@ def build_likelihood(
     # Fuse groups with identical kernel structure into ONE stacked GP batch:
     # z/v columns stay in group order (matching the U column offsets), but the
     # device sees a single batched matmul over all 41 PCs instead of one
-    # launch per group.
-    if len(groups) > 1 and all(g.cfg == groups[0].cfg for g in groups[1:]):
-        fused_posts = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *(g.posts for g in groups))
-        groups = [GroupGPs(cfg=groups[0].cfg, posts=fused_posts)]
+    # launch per group. Fusion happens on HOST (numpy) so the device sees a
+    # single transfer, no eager concat compiles.
+    groups: list[GroupGPs] = []
+    if len(host_posts) > 1 and all(c == host_posts[0][0] for c, _ in host_posts[1:]):
+        fused = jax.tree.map(
+            lambda *xs: jnp.asarray(np.concatenate(xs, axis=0), dtype),
+            *(p for _, p in host_posts),
+        )
+        groups = [GroupGPs(cfg=host_posts[0][0], posts=fused)]
+    else:
+        for kernel_cfg, posts in host_posts:
+            groups.append(
+                GroupGPs(cfg=kernel_cfg, posts=jax.tree.map(lambda x: jnp.asarray(x, dtype), posts))
+            )
 
     return EmulatorLikelihood(
         groups=tuple(groups),

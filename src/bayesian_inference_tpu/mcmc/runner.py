@@ -53,6 +53,9 @@ def run_mcmc(
     theta_max = np.asarray(param_spec["max"], float)
     ndim = len(param_spec["names"])
 
+    import time as _time
+
+    _t = _time.perf_counter()
     emulation_config = EmulationConfig.from_config_file(
         analysis_name=config.analysis_name,
         parameterization=config.parameterization,
@@ -60,6 +63,7 @@ def run_mcmc(
         config_file=config.config_file,
     )
     emulation_results = emulation_config.read_all_emulator_groups()
+    logger.info(f"emulator artifacts loaded: {_time.perf_counter() - _t:.2f}s")
 
     experimental_results = obs_io.data_array_from_h5(
         config.output_dir,
@@ -69,6 +73,7 @@ def run_mcmc(
         rng=np.random.default_rng(seed + 12345) if closure_index >= 0 else None,
     )
 
+    _t = _time.perf_counter()
     like = build_likelihood(
         emulation_config,
         emulation_results,
@@ -78,6 +83,7 @@ def run_mcmc(
         mode=mode,
         dtype=dtype,
     )
+    logger.info(f"likelihood build: {_time.perf_counter() - _t:.2f}s")
     log_prob_fn = like.log_posterior
     dt = like.theta_min.dtype
 
@@ -94,7 +100,6 @@ def run_mcmc(
     nburn1 = config.n_burn_steps - nburn0
     chunk = None
 
-    import time as _time
 
     # --- burn-in phase 1 -------------------------------------------------------
     logger.info(f"Burn-in phase 1: {config.n_walkers} walkers x {nburn0} steps")
@@ -139,11 +144,13 @@ def run_mcmc(
         "acceptance_fraction": acceptance_fraction,
         "log_prob": log_prob,
     }
+    _t = _time.perf_counter()
     try:
         output_dict["autocorrelation_time"] = stats.integrated_time(chain)
     except stats.AutocorrError as e:
         output_dict["autocorrelation_time"] = None
         logger.info(f"Could not compute autocorrelation time: {e}")
+    logger.info(f"autocorrelation estimate: {_time.perf_counter() - _t:.2f}s")
 
     if closure_index >= 0:
         design_point = obs_io.design_array_from_h5(

@@ -218,22 +218,30 @@ def read_emulators(config: EmulationGroupConfig) -> dict[str, Any]:
         return pickle.load(f)
 
 
-def posterior_from_artifact(artifact: dict[str, Any]) -> tuple[KernelConfig, gp_mod.GPPosterior]:
-    """Rehydrate the stacked GPPosterior (leading axis = PC) from a host artifact."""
+def posterior_from_artifact(
+    artifact: dict[str, Any], device: bool = True
+) -> tuple[KernelConfig, gp_mod.GPPosterior]:
+    """Rehydrate the stacked GPPosterior (leading axis = PC) from a host artifact.
+
+    ``device=False`` keeps all leaves as host numpy arrays (callers that fuse
+    or slice before transfer avoid per-leaf device round trips).
+    """
     em = artifact["emulators"]
     cfg = KernelConfig(**em["kernel"])
     k = em["alpha"].shape[0]
+    conv = jnp.asarray if device else np.asarray
+    X = np.broadcast_to(np.asarray(em["X"]), (k, *em["X"].shape))
     posts = gp_mod.GPPosterior(
         params=KernelParams(
-            log_length_scale=jnp.asarray(em["params"]["log_length_scale"]),
-            log_noise=jnp.asarray(em["params"]["log_noise"]),
-            log_constant=jnp.asarray(em["params"]["log_constant"]),
+            log_length_scale=conv(em["params"]["log_length_scale"]),
+            log_noise=conv(em["params"]["log_noise"]),
+            log_constant=conv(em["params"]["log_constant"]),
         ),
-        X=jnp.broadcast_to(jnp.asarray(em["X"]), (k, *em["X"].shape)),
-        alpha=jnp.asarray(em["alpha"]),
-        Kinv=jnp.asarray(em["Kinv"]),
-        prior_var=jnp.asarray(em["prior_var"]),
-        lml=jnp.asarray(em["lml"]),
+        X=conv(X),
+        alpha=conv(em["alpha"]),
+        Kinv=conv(em["Kinv"]),
+        prior_var=conv(em["prior_var"]),
+        lml=conv(em["lml"]),
     )
     return cfg, posts
 
