@@ -108,6 +108,14 @@ def build_likelihood(
     """
     if dtype is None:
         dtype = jnp.zeros(()).dtype
+    np_dtype = np.dtype(str(dtype))
+
+    def to_device(x):
+        # Cast on HOST then device_put: an on-device cast would compile one
+        # tiny convert program per distinct shape (seconds each on a remote
+        # compile service); a pure transfer compiles nothing.
+        return jax.device_put(np.asarray(x, np_dtype))
+
     if emulator_cov_unexplained is None:
         emulator_cov_unexplained = emulator_mod.compute_emulator_cov_unexplained(
             emulation_config, emulation_results
@@ -187,23 +195,21 @@ def build_likelihood(
     groups: list[GroupGPs] = []
     if len(host_posts) > 1 and all(c == host_posts[0][0] for c, _ in host_posts[1:]):
         fused = jax.tree.map(
-            lambda *xs: jnp.asarray(np.concatenate(xs, axis=0), dtype),
+            lambda *xs: to_device(np.concatenate(xs, axis=0)),
             *(p for _, p in host_posts),
         )
         groups = [GroupGPs(cfg=host_posts[0][0], posts=fused)]
     else:
         for kernel_cfg, posts in host_posts:
-            groups.append(
-                GroupGPs(cfg=kernel_cfg, posts=jax.tree.map(lambda x: jnp.asarray(x, dtype), posts))
-            )
+            groups.append(GroupGPs(cfg=kernel_cfg, posts=jax.tree.map(to_device, posts)))
 
     return EmulatorLikelihood(
         groups=tuple(groups),
-        theta_min=jnp.asarray(theta_min, dtype),
-        theta_max=jnp.asarray(theta_max, dtype),
-        U=jnp.asarray(U_pad, dtype),
-        D=jnp.asarray(D_pad, dtype),
-        d0=jnp.asarray(d0_pad, dtype),
+        theta_min=to_device(theta_min),
+        theta_max=to_device(theta_max),
+        U=to_device(U_pad),
+        D=to_device(D_pad),
+        d0=to_device(d0_pad),
         wb=wb,
         mode=mode,
     )

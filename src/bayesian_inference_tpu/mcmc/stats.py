@@ -76,20 +76,22 @@ def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet
     windowing with parameter ``c``, and raises AutocorrError when the chain is
     shorter than ``tol`` autocorrelation times (unless ``quiet``).
     """
-    chain = np.asarray(chain, float)
+    chain = np.asarray(chain)
+    if not np.issubdtype(chain.dtype, np.floating):
+        chain = chain.astype(np.float64)
     if chain.ndim == 2:
         chain = chain[:, :, None]
     n_t, n_w, n_d = chain.shape
-    # Batched FFT over all (walker, dim) series at once.
     n = _next_pow_two(n_t)
-    x = chain - chain.mean(axis=0)
-    f = np.fft.fft(x, n=2 * n, axis=0)
-    acf = np.fft.ifft(f * np.conjugate(f), axis=0)[:n_t].real  # (n_t, n_w, n_d)
-    acf /= np.where(acf[0] == 0.0, 1.0, acf[0])
-    mean_acf = acf.mean(axis=1)  # (n_t, n_d)
     tau_est = np.empty(n_d)
+    # One batched FFT per parameter (walkers on the batch axis): large enough
+    # to vectorize, small enough to stay cache/memory friendly.
     for d in range(n_d):
-        taus = 2.0 * np.cumsum(mean_acf[:, d]) - 1.0
+        x = chain[:, :, d] - chain[:, :, d].mean(axis=0)
+        f = np.fft.fft(x, n=2 * n, axis=0)
+        acf = np.fft.ifft(f * np.conjugate(f), axis=0)[:n_t].real  # (n_t, n_w)
+        acf /= np.where(acf[0] == 0.0, 1.0, acf[0])
+        taus = 2.0 * np.cumsum(acf.mean(axis=1)) - 1.0
         tau_est[d] = taus[_auto_window(taus, c)]
 
     if np.any(tol * tau_est > n_t):
