@@ -102,9 +102,12 @@ def _optimize_single(
     converges (~30 masked evaluations per step at production batch sizes).
     """
     obj = partial(_neg_lml_u, spec=spec, X=X, y=y)
+    # Under vmap the linesearch while-loop runs its max step count whenever any
+    # instance is still searching, so the cap IS the per-iteration eval count:
+    # keep it small (validated against sklearn LMLs in tests/test_gp.py).
     opt = optax.lbfgs(
         linesearch=optax.scale_by_backtracking_linesearch(
-            max_backtracking_steps=12, store_grad=True
+            max_backtracking_steps=6, store_grad=True
         )
     )
     state0 = opt.init(u0)
