@@ -76,6 +76,8 @@ def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet
     windowing with parameter ``c``, and raises AutocorrError when the chain is
     shorter than ``tol`` autocorrelation times (unless ``quiet``).
     """
+    from scipy import fft as sfft
+
     chain = np.asarray(chain)
     if not np.issubdtype(chain.dtype, np.floating):
         chain = chain.astype(np.float64)
@@ -84,14 +86,15 @@ def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet
     n_t, n_w, n_d = chain.shape
     n = _next_pow_two(n_t)
     tau_est = np.empty(n_d)
-    # One batched FFT per parameter (walkers on the batch axis): large enough
-    # to vectorize, small enough to stay cache/memory friendly.
+    # One batched real FFT per parameter (walkers on the batch axis), in the
+    # chain's own precision: scipy.fft keeps float32 single-precision, ~4x
+    # cheaper than numpy's always-double complex transform at 50k-step chains.
     for d in range(n_d):
         x = chain[:, :, d] - chain[:, :, d].mean(axis=0)
-        f = np.fft.fft(x, n=2 * n, axis=0)
-        acf = np.fft.ifft(f * np.conjugate(f), axis=0)[:n_t].real  # (n_t, n_w)
-        acf /= np.where(acf[0] == 0.0, 1.0, acf[0])
-        taus = 2.0 * np.cumsum(acf.mean(axis=1)) - 1.0
+        f = sfft.rfft(x, n=2 * n, axis=0)
+        acf = sfft.irfft(f * np.conjugate(f), n=2 * n, axis=0)[:n_t]
+        acf = acf / np.where(acf[0] == 0.0, 1.0, acf[0])
+        taus = 2.0 * np.cumsum(acf.mean(axis=1, dtype=np.float64)) - 1.0
         tau_est[d] = taus[_auto_window(taus, c)]
 
     if np.any(tol * tau_est > n_t):
