@@ -75,6 +75,15 @@ class SteerAnalysis:
                 )
                 hdf5.write_dict_to_h5(observables, run_dir, filename="observables.h5")
 
+        if not self.initialize_observables and not os.path.exists(os.path.join(run_dir, "observables.h5")):
+            # Convenience for pre-aggregated observables: stage an existing
+            # observables.h5 from the observable_config_dir.
+            staged = os.path.join(self.observable_config_dir, "observables.h5")
+            if os.path.exists(staged):
+                os.makedirs(run_dir, exist_ok=True)
+                shutil.copy(staged, os.path.join(run_dir, "observables.h5"))
+                logger.info(f"Staged pre-aggregated observables.h5 from {staged}")
+
         if self.preprocess_input_data:
             with stage_timer(f"preprocess[{analysis_name}/{parameterization}]", logger):
                 from bayesian_inference_tpu.preprocess import preprocess

@@ -64,6 +64,37 @@ def smooth_statistical_outliers_in_predictions(
     return new_observables
 
 
+def find_physics_motivated_outliers(
+    observables: dict[str, Any],
+    validation_set: bool = False,
+    raa_min: float = -0.2,
+    raa_max: float = 1.3,
+) -> dict[str, set[int]]:
+    """Ad-hoc physics checks on RAA-like observables (reference
+    preprocess_input_data.py:46-100, dormant there as well): hadron / inclusive
+    jet ratios should not be strongly negative or far above unity. Returns
+    {observable_label: design-point column indices violating the bounds}.
+    """
+    prediction_key = "Prediction_validation" if validation_set else "Prediction"
+    suspects: dict[str, set[int]] = {}
+    for label in sorted_observable_list_from_dict(observables[prediction_key]):
+        keys = label.split("__")
+        observable_type, observable = keys[2], keys[3]
+        is_raa = observable_type in ("hadron", "inclusive_chjet", "inclusive_jet") and not any(
+            sub in observable for sub in ("Dz", "tg", "zg")
+        )
+        if not is_raa:
+            continue
+        y = np.atleast_2d(observables[prediction_key][label]["y"])
+        bad = np.where((y < raa_min) | (y > raa_max))[1]
+        if bad.size:
+            suspects[label] = set(int(i) for i in bad)
+    if suspects:
+        all_points = sorted({i for s in suspects.values() for i in s})
+        logger.warning(f"physics-motivated outlier candidates (design columns): {all_points}")
+    return suspects
+
+
 def find_large_statistical_uncertainty_points(
     values: npt.NDArray[np.float64],
     y_err: npt.NDArray[np.float64],

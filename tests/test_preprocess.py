@@ -87,3 +87,18 @@ def test_linear_interpolation_replaces_outlier():
         # carried-over keys exist
         for key in ("Data", "Design", "Design_validation", "Prediction_validation"):
             assert key in smoothed
+
+
+def test_physics_motivated_outliers():
+    obs = {
+        "Prediction": {
+            "5020__PbPb__hadron__pt_ch_x____0-5": {
+                "y": np.array([[0.5, 1.5], [0.6, -0.5]]), "y_err": np.ones((2, 2)) * 0.01,
+            },
+            "5020__PbPb__chjet__zg_x____0-5": {  # substructure: exempt from RAA bounds
+                "y": np.array([[5.0, -3.0]]), "y_err": np.ones((1, 2)) * 0.01,
+            },
+        }
+    }
+    suspects = outl.find_physics_motivated_outliers(obs)
+    assert suspects == {"5020__PbPb__hadron__pt_ch_x____0-5": {1}}
