@@ -70,3 +70,85 @@ def plot(config) -> None:
         fig.tight_layout()
         fig.savefig(os.path.join(plot_dir, "closure_summary.pdf"))
         plt.close(fig)
+        plot_closure_summary_qhat(config, plot_dir)
+
+
+def plot_closure_summary_qhat(config, plot_dir: str, confidence: float = 0.9) -> None:
+    """Summary of closure success across the (E, T) plane and vs each true
+    parameter (reference plot_closure.py:130-261): for every validation point,
+    the fraction of the qhat(E, T) surface whose truth lies inside the
+    posterior credible band, binned with Bayesian binomial uncertainties."""
+    import itertools
+
+    from bayesian_inference_tpu.physics import qhat as qhat_fn
+
+    closure_base = os.path.join(config.output_dir, "closure", "results")
+    indices = sorted(int(i) for i in os.listdir(closure_base) if i.isdigit())
+    Es = np.linspace(20, 200, 7)
+    Ts = np.linspace(0.2, 0.5, 7)
+
+    truths, rates = [], []
+    grid_success = np.zeros((len(Es), len(Ts)))
+    grid_total = np.zeros((len(Es), len(Ts)))
+    for i in indices:
+        run_dir = os.path.join(closure_base, str(i))
+        if not os.path.exists(os.path.join(run_dir, "mcmc.h5")):
+            continue
+        results = hdf5.read_dict_from_h5(run_dir, "mcmc.h5", verbose=False)
+        chain = np.asarray(results["chain"]).reshape(-1, np.asarray(results["chain"]).shape[-1])
+        truth = np.asarray(results["design_point"])
+        rng = np.random.default_rng(0)
+        if chain.shape[0] > 3000:
+            chain = chain[rng.choice(chain.shape[0], 3000, replace=False)]
+        point_success = 0
+        for (ei, E), (ti, T) in itertools.product(enumerate(Es), enumerate(Ts)):
+            qs = qhat_fn(chain, config.parameterization, T=float(T), E=float(E))
+            lo, hi = np.percentile(qs, [(1 - confidence) / 2 * 100, (1 + confidence) / 2 * 100])
+            qt = qhat_fn(truth[None, :], config.parameterization, T=float(T), E=float(E))[0]
+            inside = lo <= qt <= hi
+            grid_success[ei, ti] += inside
+            grid_total[ei, ti] += 1
+            point_success += inside
+        truths.append(truth)
+        rates.append(point_success / (len(Es) * len(Ts)))
+
+    if not truths:
+        return
+    truths = np.asarray(truths)
+    rates = np.asarray(rates)
+
+    # (E, T) plane success fraction
+    frac = np.where(grid_total > 0, grid_success / np.maximum(grid_total, 1), np.nan)
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    im = ax.pcolormesh(Ts, Es, frac, vmin=0, vmax=1, cmap="RdYlGn", shading="nearest")
+    fig.colorbar(im, ax=ax, label=f"fraction of closures with truth in {int(confidence*100)}% CR")
+    ax.set_xlabel("T (GeV)")
+    ax.set_ylabel("E (GeV)")
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, "closure_summary_ET.pdf"))
+    plt.close(fig)
+
+    # success rate vs each true parameter (binned, with binomial errors)
+    names = config.analysis_config["parameterization"][config.parameterization]["names"]
+    n_params = truths.shape[1]
+    fig, axes = plt.subplots(1, n_params, figsize=(2.6 * n_params, 3), squeeze=False)
+    for p in range(n_params):
+        ax = axes[0][p]
+        edges = np.quantile(truths[:, p], np.linspace(0, 1, 4))
+        for lo_e, hi_e in zip(edges[:-1], edges[1:]):
+            sel = (truths[:, p] >= lo_e) & (truths[:, p] <= hi_e)
+            n_tot = int(sel.sum())
+            if n_tot == 0:
+                continue
+            k = float(rates[sel].sum())
+            err = efficiency_uncertainty(int(round(k)), n_tot)
+            center = 0.5 * (lo_e + hi_e)
+            ax.errorbar([center], [k / n_tot], yerr=[err], fmt="o", color="steelblue")
+        ax.axhline(confidence, color="r", ls="--", lw=0.8)
+        ax.set_ylim(0, 1.1)
+        ax.set_xlabel(names[p], fontsize=7)
+        if p == 0:
+            ax.set_ylabel("closure success rate")
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, "closure_summary_parameters.pdf"))
+    plt.close(fig)

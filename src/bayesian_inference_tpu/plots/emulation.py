@@ -35,6 +35,8 @@ def plot(config) -> None:
     for name, art in results.items():
         _plot_pca_explained_variance(art, name, plot_dir)
         _plot_reconstruction_error(art, name, plot_dir)
+        _plot_per_feature_reconstruction(art, name, plot_dir)
+        _plot_pca_sweep(art, name, plot_dir)
 
     _plot_residuals(config, results, plot_dir, validation_set=False)
     _plot_residuals(config, results, plot_dir, validation_set=True)
@@ -113,4 +115,46 @@ def _plot_residuals(config, results: dict, plot_dir: str, validation_set: bool) 
     ax2.legend()
     fig.tight_layout()
     fig.savefig(os.path.join(plot_dir, f"residuals__{label}.pdf"))
+    plt.close(fig)
+
+
+def _plot_per_feature_reconstruction(art: dict, name: str, plot_dir: str) -> None:
+    """Per-feature relative reconstruction error at the configured n_pc
+    (reference plot_emulation.py:121-226)."""
+    Y = np.asarray(art["PCA"]["Y"])
+    recon = np.asarray(art["PCA"]["Y_reconstructed_truncated_unscaled"])
+    rel = np.sqrt(np.mean(((recon - Y) / Y) ** 2, axis=0))
+    fig, ax = plt.subplots(figsize=(9, 3.2))
+    ax.bar(np.arange(rel.size), rel, width=1.0, color="steelblue")
+    ax.set_xlabel("feature (observable bin, group-sorted)")
+    ax.set_ylabel("RMS relative reconstruction error")
+    ax.set_title(f"{name} (n_pc = {int(art['n_pc'])})", fontsize=9)
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, f"per_feature_reconstruction__{name}.pdf"))
+    plt.close(fig)
+
+
+def _plot_pca_sweep(art: dict, name: str, plot_dir: str, n_pcs=(1, 2, 5, 10, 20)) -> None:
+    """Observables reconstructed with increasing numbers of PCs
+    (reference plot_emulation.py:230-291): per-feature error quantiles vs n_pc."""
+    Y = np.asarray(art["PCA"]["Y"])
+    Y_pca = np.asarray(art["PCA"]["Y_pca"])
+    comps = np.asarray(art["PCA"]["components"])
+    mean, scale = np.asarray(art["PCA"]["mean"]), np.asarray(art["PCA"]["scale"])
+    fig, ax = plt.subplots(figsize=(6, 4))
+    n_max = min(Y_pca.shape[1], comps.shape[0])
+    for q, color in ((50, "steelblue"), (90, "darkorange")):
+        errs = []
+        ns = [n for n in n_pcs if n <= n_max]
+        for n in ns:
+            recon = (Y_pca[:, :n] @ comps[:n]) * scale + mean
+            errs.append(np.percentile(np.abs((recon - Y) / Y), q))
+        ax.plot(ns, errs, "o-", label=f"{q}th percentile |rel err|", color=color)
+    ax.axvline(int(art["n_pc"]), color="r", ls="--", label=f"n_pc = {int(art['n_pc'])}")
+    ax.set_xlabel("number of principal components")
+    ax.set_ylabel("relative reconstruction error")
+    ax.set_yscale("log")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, f"pca_sweep__{name}.pdf"))
     plt.close(fig)

@@ -33,6 +33,7 @@ def plot(config) -> None:
 
     observables = hdf5.read_dict_from_h5(config.output_dir, "observables.h5", verbose=False)
     _plot_design_pairplot(np.atleast_2d(observables["Design"]), plot_dir)
+    plot_observable_correlations(observables, plot_dir)
 
 
 def _plot_prediction_spaghetti(observables: dict, plot_dir: str, tag: str) -> None:
@@ -72,3 +73,73 @@ def _plot_design_pairplot(design: np.ndarray, plot_dir: str) -> None:
     fig.tight_layout()
     fig.savefig(os.path.join(plot_dir, "design_pairplot.pdf"))
     plt.close(fig)
+
+
+def _ols_fit(x: np.ndarray, y: np.ndarray) -> tuple[float, float, float]:
+    """Least-squares line y = a + b x; returns (a, b, r_squared)."""
+    A = np.c_[np.ones_like(x), x]
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    pred = A @ coef
+    ss_res = np.sum((y - pred) ** 2)
+    ss_tot = np.sum((y - y.mean()) ** 2)
+    r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+    return float(coef[0]), float(coef[1]), float(r2)
+
+
+def plot_observable_correlations(
+    observables: dict, plot_dir: str, labels: list[str] | None = None,
+    n_rms_outlier: float = 3.0, tag: str = "standard",
+) -> dict[str, list[int]]:
+    """Pairwise correlation study between observables across design points with
+    least-squares regression lines and RMS-distance outlier identification
+    (reference plot_input_data.py:323-478, statsmodels OLS replaced by a
+    numpy least-squares fit). Observables are summarized by their bin-averaged
+    prediction per design point. Returns {pair_label: outlier design columns}.
+    """
+    from bayesian_inference_tpu.io.observables import sorted_observable_list_from_dict
+
+    if labels is None:
+        labels = sorted_observable_list_from_dict(observables["Prediction"])
+    # summarize each observable as its mean over bins -> (n_design,) series
+    series = {
+        lbl: np.atleast_2d(observables["Prediction"][lbl]["y"]).mean(axis=0) for lbl in labels
+    }
+    n = len(labels)
+    if n < 2:
+        return {}
+    fig, axes = plt.subplots(n, n, figsize=(2.1 * n, 2.1 * n))
+    outliers: dict[str, list[int]] = {}
+    for i in range(n):
+        for j in range(n):
+            ax = axes[i][j]
+            if i == j:
+                ax.hist(series[labels[i]], bins=20, color="steelblue")
+            elif i > j:
+                x, y = series[labels[j]], series[labels[i]]
+                a, b, r2 = _ols_fit(x, y)
+                resid = y - (a + b * x)
+                rms = np.sqrt(np.mean(resid**2))
+                bad = np.where(np.abs(resid) > n_rms_outlier * rms)[0]
+                ax.plot(x, y, ".", ms=2)
+                xs = np.linspace(x.min(), x.max(), 10)
+                ax.plot(xs, a + b * xs, "r-", lw=0.8)
+                ax.text(0.03, 0.9, f"$R^2$={r2:.2f}", transform=ax.transAxes, fontsize=5)
+                if bad.size:
+                    ax.plot(x[bad], y[bad], "rx", ms=5)
+                    for k in bad:
+                        ax.annotate(str(k), (x[k], y[k]), fontsize=4, color="red")
+                    outliers[f"{labels[j]} vs {labels[i]}"] = bad.tolist()
+            else:
+                ax.axis("off")
+            ax.tick_params(labelsize=4)
+            if i == n - 1:
+                ax.set_xlabel(labels[j].replace("__", "\n"), fontsize=4)
+            if j == 0:
+                ax.set_ylabel(labels[i].replace("__", "\n"), fontsize=4)
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, f"observable_correlations__{tag}.pdf"))
+    plt.close(fig)
+    if outliers:
+        flat = sorted({k for v in outliers.values() for k in v})
+        logger.warning(f"correlation-study outlier design columns ({tag}): {flat}")
+    return outliers

@@ -37,6 +37,10 @@ def plot(config) -> None:
     _plot_autocorrelation(chain, plot_dir)
     _plot_pairplot(chain, names, plot_dir)
     _plot_traces(chain, names, plot_dir)
+    try:
+        _plot_posterior_observables(chain, config, plot_dir)
+    except FileNotFoundError as e:
+        logger.info(f"Skipping posterior-observable plots (missing artifacts): {e}")
 
 
 def _plot_acceptance(af: np.ndarray, plot_dir: str) -> None:
@@ -126,3 +130,46 @@ def _plot_traces(chain: np.ndarray, names: list[str], plot_dir: str) -> None:
     fig.tight_layout()
     fig.savefig(os.path.join(plot_dir, "traces.pdf"))
     plt.close(fig)
+
+
+def _plot_posterior_observables(chain: np.ndarray, config, plot_dir: str, n_samples: int = 100) -> None:
+    """Design-prediction spaghetti vs emulator predictions at posterior samples,
+    overlaid on experimental data (reference plot_mcmc.py:319-375)."""
+    from bayesian_inference_tpu.io import observables as obs_io
+    from bayesian_inference_tpu.models import emulator as emulator_mod
+    from bayesian_inference_tpu.pipeline.configs import EmulationConfig
+    from bayesian_inference_tpu.plots.utils import observable_panels
+
+    emulation_config = EmulationConfig.from_config_file(
+        analysis_name=config.analysis_name,
+        parameterization=config.parameterization,
+        analysis_config=config.analysis_config,
+        config_file=config.config_file,
+    )
+    results = emulation_config.read_all_emulator_groups()
+    observables = hdf5.read_dict_from_h5(config.output_dir, "observables.h5", verbose=False)
+    sorted_labels = obs_io.sorted_observable_list_from_dict(
+        observables, observable_filter=emulation_config.observable_filter
+    )
+
+    flat = chain.reshape(-1, chain.shape[-1])
+    rng = np.random.default_rng(0)
+    idx = rng.choice(flat.shape[0], min(n_samples, flat.shape[0]), replace=False)
+    posterior_pred = emulator_mod.predict(flat[idx], emulation_config,
+                                          emulation_group_results=results)
+
+    design_Y = obs_io.predictions_matrix_from_h5(
+        config.output_dir, "observables.h5", observable_filter=emulation_config.observable_filter
+    )
+
+    observable_panels(
+        plot_list=[{"central_value": design_Y}, {"central_value": posterior_pred["central_value"]}],
+        labels=["design predictions", "posterior emulated"],
+        colors=["gray", "steelblue"],
+        config=config,
+        plot_dir=plot_dir,
+        filename="posterior_observables.pdf",
+        observables=observables,
+        sorted_labels=sorted_labels,
+        ylabel="RAA",
+    )

@@ -40,6 +40,10 @@ def plot(config) -> None:
         chain, config, plot_dir, "qhat_vs_E.pdf", vs="E", fixed=0.3,
         target_design_point=target,
     )
+    try:
+        plot_observable_sensitivity(chain, config, plot_dir)
+    except FileNotFoundError as e:
+        logger.info(f"Skipping sensitivity plots (missing emulator artifacts): {e}")
 
 
 def plot_qhat_band(
@@ -110,3 +114,45 @@ def plot_qhat_band(
     fig.savefig(os.path.join(plot_dir, filename))
     plt.close(fig)
     return containment
+
+
+def plot_observable_sensitivity(
+    flat_chain: np.ndarray, config, plot_dir: str, delta: float = 0.1
+) -> None:
+    """Local sensitivity index of every observable bin to each parameter at the
+    MAP point: S(x_i, O_j, delta) = [O_j((1+delta) x_i) - O_j(x_i)] / (delta O_j(x_i))
+    (reference plot_qhat.py:172-258)."""
+    from bayesian_inference_tpu.mcmc.stats import map_parameters
+    from bayesian_inference_tpu.models import emulator as emulator_mod
+    from bayesian_inference_tpu.pipeline.configs import EmulationConfig
+
+    emulation_config = EmulationConfig.from_config_file(
+        analysis_name=config.analysis_name,
+        parameterization=config.parameterization,
+        analysis_config=config.analysis_config,
+        config_file=config.config_file,
+    )
+    results = emulation_config.read_all_emulator_groups()
+
+    theta_map = map_parameters(flat_chain)
+    names = config.analysis_config["parameterization"][config.parameterization]["names"]
+    n_params = len(names)
+
+    base = emulator_mod.predict(theta_map[None, :], emulation_config,
+                                emulation_group_results=results)["central_value"][0]
+    fig, axes = plt.subplots(n_params, 1, figsize=(9, 1.8 * n_params), sharex=True, squeeze=False)
+    for i in range(n_params):
+        perturbed = np.array(theta_map, copy=True)
+        perturbed[i] *= 1.0 + delta
+        pred = emulator_mod.predict(perturbed[None, :], emulation_config,
+                                    emulation_group_results=results)["central_value"][0]
+        S = (pred - base) / (delta * base)
+        ax = axes[i][0]
+        ax.bar(np.arange(len(S)), np.clip(S, -5, 5), width=1.0, color="steelblue")
+        ax.set_ylabel(names[i], fontsize=7)
+        ax.set_ylim(-5, 5)
+    axes[-1][0].set_xlabel("observable bin (globally sorted)")
+    fig.suptitle(rf"sensitivity index at MAP, $\delta$={delta}", fontsize=10)
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, "sensitivity_index.pdf"))
+    plt.close(fig)
