@@ -1,0 +1,78 @@
+"""Closure-test machinery: pseudodata construction, per-point MCMC artifacts,
+and closure plots."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from bayesian_inference_tpu import io
+from bayesian_inference_tpu.mcmc.runner import run_mcmc
+from bayesian_inference_tpu.models import emulator
+from bayesian_inference_tpu.pipeline.configs import EmulationConfig, MCMCConfig, load_yaml
+from conftest import make_analysis_yaml
+
+
+@pytest.fixture(scope="module")
+def closure_setup(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("closure")
+    groups = {"default_group": {"n_pc": 2, "observable_list": ["hadron__pt_"]}}
+    config_path, analysis_name, param = make_analysis_yaml(
+        tmp_path, groups=groups, n_walkers=12, n_burn_steps=16, n_sampling_steps=40, n_restarts=1
+    )
+    analysis_config = load_yaml(config_path)["analyses"][analysis_name]
+    emu_config = EmulationConfig.from_config_file(
+        analysis_name=analysis_name, parameterization=param,
+        config_file=str(config_path), analysis_config=analysis_config,
+    )
+    emulator.fit_emulators(emu_config, n_opt_iters=20)
+    return config_path, analysis_name, param, analysis_config
+
+
+def test_pseudodata_smearing(closure_setup):
+    """Closure pseudodata = validation prediction + N(0, sigma_exp), with
+    experimental uncertainties attached (reference data_IO.py:365-372)."""
+    config_path, analysis_name, param, analysis_config = closure_setup
+    run_dir = str(Path(config_path).parent / "output" / f"{analysis_name}_{param}")
+
+    rng = np.random.default_rng(7)
+    pseud = io.data_array_from_h5(run_dir, "observables.h5", pseudodata_index=3, rng=rng)
+    real = io.data_array_from_h5(run_dir, "observables.h5")
+    obs = io.read_dict_from_h5(run_dir, "observables.h5", verbose=False)
+
+    np.testing.assert_allclose(pseud["y_err"], real["y_err"])  # exp errors attached
+    # central values near the validation prediction (within a few sigma)
+    val = io.predictions_matrix_from_h5(run_dir, "observables.h5", validation_set=True)
+    resid = (pseud["y"] - val[3]) / real["y_err"]
+    assert np.abs(resid).max() < 6
+    assert np.abs(resid).mean() < 2
+
+
+def test_closure_mcmc_and_plots(closure_setup):
+    config_path, analysis_name, param, analysis_config = closure_setup
+    for idx in (0, 1):
+        cfg = MCMCConfig(
+            analysis_name=analysis_name, parameterization=param,
+            analysis_config=analysis_config, config_file=str(config_path),
+            closure_index=idx,
+        )
+        out = run_mcmc(cfg, closure_index=idx, seed=idx)
+        assert "design_point" in out
+        stored = io.read_dict_from_h5(cfg.mcmc_output_dir, "mcmc.h5", verbose=False)
+        assert stored["design_point"].shape == (6,)
+        assert "experimental_pseudodata" in stored
+        assert f"closure/results/{idx}" in cfg.mcmc_output_dir
+
+    from bayesian_inference_tpu.plots import closure as plot_closure
+
+    mcmc_cfg = MCMCConfig(
+        analysis_name=analysis_name, parameterization=param,
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+    plot_closure.plot(mcmc_cfg)
+    plot_dir = Path(mcmc_cfg.output_dir) / "plot_closure"
+    assert (plot_dir / "closure_summary.pdf").exists()
+    assert (plot_dir / "closure_summary_ET.pdf").exists()
+    assert (plot_dir / "closure_summary_parameters.pdf").exists()
