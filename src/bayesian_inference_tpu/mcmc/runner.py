@@ -46,8 +46,17 @@ def run_mcmc(
     seed: int = 0,
     mode: str = "block",
     dtype=None,
+    checkpoint_every: int | None = None,
 ) -> dict[str, Any]:
-    """Run the full MCMC for one analysis; writes mcmc.h5 + sampler state pickle."""
+    """Run the full MCMC for one analysis; writes mcmc.h5 + sampler state pickle.
+
+    ``checkpoint_every``: production-phase checkpoint cadence in steps. When
+    set, a resumable snapshot (walker coords, RNG key, chain-so-far) is written
+    to mcmc_checkpoint.pkl after each chunk, and an interrupted run restarts
+    from the latest snapshot instead of from scratch — step-granular resume the
+    reference lists as an open TODO (mcmc.py:69-70). Costs one device dispatch
+    per chunk; leave None for the single-dispatch fast path.
+    """
     param_spec = config.parameterization_spec()
     theta_min = np.asarray(param_spec["min"], float)
     theta_max = np.asarray(param_spec["max"], float)
@@ -125,7 +134,12 @@ def run_mcmc(
     logger.info(f"Production: {config.n_sampling_steps} steps")
     _t = _time.perf_counter()
     key, k3 = jax.random.split(key)
-    out3 = run_ensemble(k3, log_prob_fn, out2["coords"], config.n_sampling_steps, chunk_size=chunk)
+    if checkpoint_every:
+        out3 = _run_production_with_checkpoints(
+            config, k3, log_prob_fn, out2["coords"], checkpoint_every
+        )
+    else:
+        out3 = run_ensemble(k3, log_prob_fn, out2["coords"], config.n_sampling_steps, chunk_size=chunk)
     jax.block_until_ready(out3["coords"])
     logger.info(f"production dispatch+exec: {_time.perf_counter() - _t:.2f}s")
 
@@ -174,3 +188,70 @@ def run_mcmc(
         pickle.dump(sampler_state, f)
 
     return output_dict
+
+
+def _checkpoint_path(config: MCMCConfig) -> str:
+    return os.path.join(config.mcmc_output_dir, "mcmc_checkpoint.pkl")
+
+
+def _run_production_with_checkpoints(
+    config: MCMCConfig,
+    key,
+    log_prob_fn,
+    x0,
+    checkpoint_every: int,
+) -> dict[str, Any]:
+    """Chunked production with resumable snapshots after every chunk."""
+    from bayesian_inference_tpu.mcmc.stretch import init_state, run_chunk
+
+    n_total = config.n_sampling_steps
+    path = _checkpoint_path(config)
+
+    chains: list[np.ndarray] = []
+    logps: list[np.ndarray] = []
+    n_accepted = np.zeros(x0.shape[0], np.int64)
+    steps_done = 0
+
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            ck = pickle.load(f)
+        if ck["n_total"] == n_total and ck["steps_done"] < n_total:
+            logger.info(f"Resuming production from checkpoint at step {ck['steps_done']}")
+            chains, logps = list(ck["chains"]), list(ck["logps"])
+            n_accepted = ck["n_accepted"]
+            steps_done = ck["steps_done"]
+            x0 = jnp.asarray(ck["coords"])
+            key = jax.random.wrap_key_data(ck["key_data"])
+
+    state = init_state(key, log_prob_fn, x0)
+    while steps_done < n_total:
+        n = min(checkpoint_every, n_total - steps_done)
+        state, ys = run_chunk(state, log_prob_fn, n)
+        chains.append(np.asarray(ys[0]))
+        logps.append(np.asarray(ys[1]))
+        steps_done += n
+        n_accepted = n_accepted + np.asarray(state.n_accepted, np.int64)
+        state = state._replace(n_accepted=jnp.zeros_like(state.n_accepted))
+        os.makedirs(config.mcmc_output_dir, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump({
+                "n_total": n_total,
+                "steps_done": steps_done,
+                "chains": chains,
+                "logps": logps,
+                "n_accepted": n_accepted,
+                "coords": np.asarray(state.coords),
+                "key_data": np.asarray(jax.random.key_data(state.key)),
+            }, f)
+        logger.info(f"checkpoint written at step {steps_done}/{n_total}")
+
+    os.remove(path)
+    chain = np.concatenate(chains, axis=0)
+    return {
+        "coords": state.coords,
+        "final_log_prob": state.log_prob,
+        "acceptance_fraction": n_accepted.astype(float) / n_total,
+        "chain": chain,
+        "log_prob": np.concatenate(logps, axis=0),
+        "key": state.key,
+    }

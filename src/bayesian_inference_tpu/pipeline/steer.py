@@ -178,10 +178,18 @@ def main() -> None:
         "-c", "--configFile", action="store", type=str, required=True,
         help="Path of YAML config file for the analysis",
     )
+    parser.add_argument(
+        "--profile", type=str, default=None, metavar="TRACE_DIR",
+        help="Write a jax.profiler device trace for the run to TRACE_DIR",
+    )
     args = parser.parse_args()
     if not os.path.exists(args.configFile):
         raise ValueError(f"File {args.configFile} does not exist!")
-    SteerAnalysis(config_file=args.configFile).run_analysis()
+
+    from bayesian_inference_tpu.utils.profiling import device_trace
+
+    with device_trace(args.profile):
+        SteerAnalysis(config_file=args.configFile).run_analysis()
 
 
 if __name__ == "__main__":

@@ -2,6 +2,7 @@
 likelihood parity vs the reference formula, and runner integration."""
 
 import numpy as np
+import os
 import pytest
 import jax
 import jax.numpy as jnp
@@ -226,3 +227,40 @@ def test_logp_chain_self_consistency_under_jit():
         s = jitted_step(s)
     err = np.abs(np.asarray(s.log_prob) - np.asarray(lp(s.coords))).max()
     assert err < 1e-12, err
+
+
+def test_checkpoint_resume(likelihood_setup, tmp_path):
+    """Interrupted production resumes from the snapshot and completes the chain."""
+    import pickle
+    from bayesian_inference_tpu.mcmc.runner import run_mcmc, _checkpoint_path
+    from bayesian_inference_tpu.pipeline.configs import MCMCConfig
+
+    emu_config, results, exp, pspec, config_path, analysis_name, analysis_config = likelihood_setup
+    cfg = MCMCConfig(
+        analysis_name=analysis_name, parameterization="exponential",
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+    # run to completion with checkpointing on
+    out = run_mcmc(cfg, seed=3, checkpoint_every=16)
+    assert out["chain"].shape[0] == cfg.n_sampling_steps
+    assert not os.path.exists(_checkpoint_path(cfg))
+
+    # fabricate an interrupted state: rerun, then truncate via a stored snapshot
+    out_full = run_mcmc(cfg, seed=4, checkpoint_every=16)
+
+    # simulate interruption: write a partial checkpoint and resume
+    partial = {
+        "n_total": cfg.n_sampling_steps,
+        "steps_done": 16,
+        "chains": [out_full["chain"][:16]],
+        "logps": [out_full["log_prob"][:16]],
+        "n_accepted": np.zeros(cfg.n_walkers, np.int64),
+        "coords": out_full["chain"][15],
+        "key_data": np.asarray(jax.random.key_data(jax.random.key(99))),
+    }
+    os.makedirs(cfg.mcmc_output_dir, exist_ok=True)
+    with open(_checkpoint_path(cfg), "wb") as f:
+        pickle.dump(partial, f)
+    out_resumed = run_mcmc(cfg, seed=5, checkpoint_every=16)
+    assert out_resumed["chain"].shape[0] == cfg.n_sampling_steps
+    np.testing.assert_allclose(out_resumed["chain"][:16], out_full["chain"][:16])
