@@ -25,13 +25,16 @@ from pathlib import Path
 REPO = Path(__file__).parent
 sys.path.insert(0, str(REPO / "src"))
 
-# Persistent compilation cache: repeat bench runs skip XLA compilation.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import yaml
+
+# Persistent compilation cache: repeat bench runs skip XLA compilation.
+# jax is pre-imported by the environment's sitecustomize, so env vars are too
+# late — set the config directly.
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import logging
 
