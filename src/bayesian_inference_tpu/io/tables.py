@@ -36,10 +36,17 @@ try:  # native single-pass parser (io/_fast_tables.c); numpy fallback
     def load_table(path) -> npt.NDArray[np.float64]:
         return _fast_tables.loadtxt(str(path))
 
+    def load_tables(paths) -> list[npt.NDArray[np.float64]]:
+        """Parse many tables concurrently (GIL released per file)."""
+        return _fast_tables.loadtxt_many([str(p) for p in paths])
+
 except ImportError:  # pragma: no cover - extension not built
 
     def load_table(path) -> npt.NDArray[np.float64]:
         return np.loadtxt(path, ndmin=2)
+
+    def load_tables(paths) -> list[npt.NDArray[np.float64]]:
+        return [np.loadtxt(p, ndmin=2) for p in paths]
 
 
 def parse_table_filename(filename: str) -> tuple[str | None, str | None]:
@@ -191,16 +198,24 @@ def initialize_observables_dict_from_tables(
         observables["Design_indices_validation"] = val_ids
 
     # --- Predictions ----------------------------------------------------------
+    # Accepted values+errors tables are parsed concurrently by the native
+    # loader (production table directories hold hundreds of files).
     prediction_dir = os.path.join(table_dir, "Prediction")
-    for filename in os.listdir(prediction_dir):
-        if "values" not in filename or parameterization not in filename:
-            continue
-        if not accept_observable(analysis_config, filename):
-            continue
+    accepted = [
+        f for f in os.listdir(prediction_dir)
+        if "values" in f and parameterization in f and accept_observable(analysis_config, f)
+    ]
+    pair_paths = [
+        os.path.join(prediction_dir, f.replace("values", kind))
+        for f in accepted
+        for kind in ("values", "errors")
+    ]
+    parsed = load_tables(pair_paths)
 
+    for i, filename in enumerate(accepted):
         label, _ = parse_table_filename(filename)
-        values = load_table(os.path.join(prediction_dir, filename))
-        errors = load_table(os.path.join(prediction_dir, filename.replace("values", "errors")))
+        values = parsed[2 * i]
+        errors = parsed[2 * i + 1]
 
         if label not in observables["Data"]:
             raise ValueError(f"{label} not found in observables[Data]: {list(observables['Data'])}")
