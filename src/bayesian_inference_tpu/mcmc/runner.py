@@ -47,6 +47,7 @@ def run_mcmc(
     mode: str = "block",
     dtype=None,
     checkpoint_every: int | None = None,
+    mesh=None,
 ) -> dict[str, Any]:
     """Run the full MCMC for one analysis; writes mcmc.h5 + sampler state pickle.
 
@@ -56,6 +57,9 @@ def run_mcmc(
     from the latest snapshot instead of from scratch — step-granular resume the
     reference lists as an open TODO (mcmc.py:69-70). Costs one device dispatch
     per chunk; leave None for the single-dispatch fast path.
+
+    ``mesh``: a jax.sharding.Mesh to shard the per-walker likelihood batch
+    across chips (parallel/mesh.py); None runs single-device.
     """
     param_spec = config.parameterization_spec()
     theta_min = np.asarray(param_spec["min"], float)
@@ -93,7 +97,13 @@ def run_mcmc(
         dtype=dtype,
     )
     logger.info(f"likelihood build: {_time.perf_counter() - _t:.2f}s")
-    log_prob_fn = like.log_posterior
+    if mesh is not None:
+        from bayesian_inference_tpu.parallel.mesh import make_sharded_log_prob
+
+        log_prob_fn = make_sharded_log_prob(like.log_posterior, mesh)
+        logger.info(f"walker batch sharded over {mesh.devices.size} devices")
+    else:
+        log_prob_fn = like.log_posterior
     dt = like.theta_min.dtype
 
     key = jax.random.key(seed)

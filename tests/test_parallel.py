@@ -59,3 +59,28 @@ def test_walker_sharded_mcmc_matches_unsharded():
 def test_shard_leading_axis_none_mesh_is_noop():
     x = jnp.ones((4, 3))
     assert shard_leading_axis(x, None) is x
+
+
+def test_run_mcmc_with_mesh(tmp_path):
+    """Full runner with the walker batch sharded over the 8-device mesh."""
+    import yaml
+    from bayesian_inference_tpu.mcmc.runner import run_mcmc
+    from bayesian_inference_tpu.models import emulator
+    from bayesian_inference_tpu.pipeline.configs import EmulationConfig, MCMCConfig, load_yaml
+    from conftest import make_analysis_yaml
+
+    groups = {"default_group": {"n_pc": 2, "observable_list": ["hadron__pt_"]}}
+    config_path, analysis_name, param = make_analysis_yaml(
+        tmp_path, groups=groups, n_walkers=16, n_burn_steps=8, n_sampling_steps=24, n_restarts=1
+    )
+    analysis_config = load_yaml(config_path)["analyses"][analysis_name]
+    emu_config = EmulationConfig.from_config_file(
+        analysis_name=analysis_name, parameterization=param,
+        config_file=str(config_path), analysis_config=analysis_config,
+    )
+    emulator.fit_emulators(emu_config, n_opt_iters=10)
+    cfg = MCMCConfig(analysis_name=analysis_name, parameterization=param,
+                     analysis_config=analysis_config, config_file=str(config_path))
+    out_mesh = run_mcmc(cfg, seed=0, mesh=get_mesh())
+    out_single = run_mcmc(cfg, seed=0, mesh=None)
+    np.testing.assert_allclose(out_mesh["chain"], out_single["chain"], rtol=1e-10)
