@@ -35,7 +35,7 @@ from flax import struct
 from bayesian_inference_tpu.models import emulator as emulator_mod
 from bayesian_inference_tpu.models import gp as gp_mod
 from bayesian_inference_tpu.ops.gram import KernelConfig
-from bayesian_inference_tpu.ops.mvn import WoodburyNormal, build_woodbury, mvn_loglike_dense, woodbury_loglike
+from bayesian_inference_tpu.ops.mvn import WoodburyNormal, build_woodbury, woodbury_loglike
 
 
 @struct.dataclass
@@ -126,8 +126,7 @@ def build_likelihood(
     y_err = np.asarray(experimental_results["y_err"], float)
     assert y.shape[0] == slice_map.n_features
 
-    # Per-group device GP stacks + host-side reconstruction pieces
-    groups: list[GroupGPs] = []
+    # Per-group host-side reconstruction pieces
     group_names = list(emulation_config.emulation_groups_config)
     offsets: dict[str, int] = {}
     U_group: dict[str, np.ndarray] = {}

@@ -29,10 +29,6 @@ class KernelConfig:
     with_noise: bool = struct.field(pytree_node=False, default=True)
     with_constant: bool = struct.field(pytree_node=False, default=False)
 
-    @property
-    def n_hyperparams(self) -> int:
-        raise NotImplementedError  # depends on ndim; see KernelParams helpers
-
 
 @struct.dataclass
 class KernelParams:

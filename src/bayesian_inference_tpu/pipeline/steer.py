@@ -16,8 +16,6 @@ import shutil
 from pathlib import Path
 from typing import Any
 
-import yaml
-
 from bayesian_inference_tpu.io import hdf5, tables
 from bayesian_inference_tpu.pipeline.configs import (
     EmulationConfig,

@@ -13,7 +13,7 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
-from bayesian_inference_tpu.io import hdf5, observables as obs_io
+from bayesian_inference_tpu.io import observables as obs_io
 from bayesian_inference_tpu.models import emulator as emulator_mod
 from bayesian_inference_tpu.plots.utils import ensure_plot_dir
 
