@@ -50,7 +50,7 @@ def main() -> None:
     from bayesian_inference_tpu.mcmc.stretch import run_ensemble
     from bayesian_inference_tpu.models import emulator
     from bayesian_inference_tpu.pipeline.configs import EmulationConfig, load_yaml
-    from conftest import make_analysis_yaml
+    from config_factory import make_analysis_yaml
     from reference_stretch import run_stretch_numpy
 
     tmp = Path(tempfile.mkdtemp())
