@@ -51,12 +51,17 @@ def observable_panels(
     A simplified, self-contained version of the reference's
     plot_observable_panels (plot_utils.py:24-172): one subplot per observable,
     x = bin centers, one curve/band per entry of plot_list
-    ({'central_value': (B, F) or mean dict, 'cov': optional}).
+    ({'central_value': (B, F) or mean dict, 'cov': optional}). The grid shape
+    follows the analysis config's ``plot_panel_shapes`` when present.
     """
     n = len(sorted_labels)
     if n == 0:
         return
-    ncols = 4
+    shapes = getattr(config, "analysis_config", {}).get("plot_panel_shapes") if config else None
+    if shapes:
+        ncols = int(shapes[0][1])
+    else:
+        ncols = 4
     nrows = int(np.ceil(n / ncols))
     fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 3 * nrows), squeeze=False)
 

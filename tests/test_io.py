@@ -99,3 +99,11 @@ def test_exclude_design_points(test_data_dir, design_points_to_exclude, paramete
         values = list(range(excluded_point * 6, excluded_point * 6 + 6))
         assert values not in train_params
         assert values not in val_params
+
+
+def test_latex_from_tlatex():
+    from bayesian_inference_tpu.plots.utils import latex_from_tlatex
+
+    assert latex_from_tlatex("#theta_{g}") == r"$\theta_{g}$"
+    out = latex_from_tlatex("p_{T} (GeV)")
+    assert out.startswith("$") and out.endswith("$") and r"\;" in out
