@@ -107,7 +107,7 @@ def _optimize_single(
     # keep it small (validated against sklearn LMLs in tests/test_gp.py).
     opt = optax.lbfgs(
         linesearch=optax.scale_by_backtracking_linesearch(
-            max_backtracking_steps=6, store_grad=True
+            max_backtracking_steps=4, store_grad=True
         )
     )
     state0 = opt.init(u0)
