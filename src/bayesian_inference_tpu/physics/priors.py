@@ -22,8 +22,9 @@ def generate_prior_samples(
     lo = np.array(parameter_min, dtype=float)
     hi = np.array(parameter_max, dtype=float)
     is_log = np.array(["c_" in name for name in names])
-    lo = np.where(is_log, np.log(lo), lo)
-    hi = np.where(is_log, np.log(hi), hi)
+    # guard: only log-transform the log-uniform dims (others may contain 0)
+    lo = np.where(is_log, np.log(np.where(is_log, lo, 1.0)), lo)
+    hi = np.where(is_log, np.log(np.where(is_log, hi, 1.0)), hi)
     samples = rng.uniform(lo, hi, (n_samples, len(names)))
     samples[:, is_log] = np.exp(samples[:, is_log])
     return samples
