@@ -80,14 +80,20 @@ def block_mvn_loglike(dY: jax.Array, C: jax.Array, interpret: bool | None = None
     are identity/zero and contribute 0), runs the fused kernel, and restores
     the batch shape. ``interpret=None`` auto-selects interpreter mode off-TPU.
     """
+    *lead, nb = dY.shape
     if interpret is None:
-        if jax.default_backend() != "tpu":
-            # Portable path: same math, no kernel-interpreter overhead.
+        if jax.default_backend() != "tpu" or nb > 48:
+            # Portable path: same math, no kernel-interpreter overhead. Also
+            # taken for very wide observable blocks, where the single-program
+            # kernel's (nb, nb, batch) working set would outgrow VMEM.
             from bayesian_inference_tpu.ops.cholesky import tiny_mvn_loglike
 
-            return tiny_mvn_loglike(dY, C)
+            if nb <= 48:
+                return tiny_mvn_loglike(dY, C)
+            from bayesian_inference_tpu.ops.mvn import mvn_loglike_dense
+
+            return mvn_loglike_dense(dY, C)
         interpret = False
-    *lead, nb = dY.shape
     batch = 1
     for s in lead:
         batch *= s
