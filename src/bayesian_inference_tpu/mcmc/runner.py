@@ -44,7 +44,7 @@ def run_mcmc(
     config: MCMCConfig,
     closure_index: int = -1,
     seed: int = 0,
-    mode: str = "block",
+    mode: str | None = None,
     dtype=None,
     checkpoint_every: int | None = None,
     mesh=None,
@@ -61,6 +61,8 @@ def run_mcmc(
     ``mesh``: a jax.sharding.Mesh to shard the per-walker likelihood batch
     across chips (parallel/mesh.py); None runs single-device.
     """
+    if mode is None:
+        mode = getattr(config, "likelihood_mode", "block")
     param_spec = config.parameterization_spec()
     theta_min = np.asarray(param_spec["min"], float)
     theta_max = np.asarray(param_spec["max"], float)

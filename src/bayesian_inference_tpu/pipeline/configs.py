@@ -212,6 +212,7 @@ class MCMCConfig:
     n_burn_steps: int = attrs.field(init=False)
     n_sampling_steps: int = attrs.field(init=False)
     n_logging_steps: int = attrs.field(init=False)
+    likelihood_mode: str = attrs.field(init=False)
     output_dir: str = attrs.field(init=False)
     mcmc_output_dir: str = attrs.field(init=False)
     mcmc_outputfile: str = attrs.field(init=False)
@@ -227,6 +228,9 @@ class MCMCConfig:
         self.n_burn_steps = mcmc["n_burn_steps"]
         self.n_sampling_steps = mcmc["n_sampling_steps"]
         self.n_logging_steps = mcmc["n_logging_steps"]
+        # 'block' = reference-parity per-observable covariance blocks;
+        # 'lowrank' = full cross-observable covariance via the Woodbury identity
+        self.likelihood_mode = mcmc.get("likelihood_mode", "block")
 
         self.output_dir = os.path.join(
             self.config["output_dir"], f"{self.analysis_name}_{self.parameterization}"
