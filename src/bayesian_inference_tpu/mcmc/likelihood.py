@@ -107,7 +107,7 @@ def build_likelihood(
     models/emulator.py docstring).
     """
     if dtype is None:
-        dtype = jnp.zeros(()).dtype
+        dtype = jax.dtypes.canonicalize_dtype(np.float64)
     np_dtype = np.dtype(str(dtype))
 
     def to_device(x):

@@ -114,9 +114,6 @@ def run_mcmc(
         k_init, (config.n_walkers, ndim), minval=like.theta_min, maxval=like.theta_max, dtype=dt
     )
 
-    # One dispatch per phase: device dispatch round trips dominate at small
-    # chunk sizes (the chain buffer fits HBM easily), and the persistent
-    # compilation cache absorbs the per-program compile cost across runs.
     nburn0 = config.n_burn_steps // 2
     nburn1 = config.n_burn_steps - nburn0
     chunk = None
@@ -143,23 +140,25 @@ def run_mcmc(
     logger.info(f"burn-2 dispatch+exec: {_time.perf_counter() - _t:.2f}s")
 
     # --- production -------------------------------------------------------------
+    # Dispatch strategy: the run is split into chunks of one shared compiled
+    # scan program; every chunk's (chain, log_prob) slab downloads WHILE later
+    # chunks execute on device (jax async dispatch), hiding the chain transfer
+    # behind compute, and chunk boundaries provide the reference's
+    # n_logging_steps acceptance cadence (mcmc.py:187-204) plus resumable
+    # checkpoints. A single dispatch is used when no cadence is configured.
     logger.info(f"Production: {config.n_sampling_steps} steps")
     _t = _time.perf_counter()
     key, k3 = jax.random.split(key)
-    if checkpoint_every:
-        out3 = _run_production_with_checkpoints(
-            config, k3, log_prob_fn, out2["coords"], checkpoint_every
-        )
-    else:
-        out3 = run_ensemble(k3, log_prob_fn, out2["coords"], config.n_sampling_steps, chunk_size=chunk)
-    jax.block_until_ready(out3["coords"])
-    logger.info(f"production dispatch+exec: {_time.perf_counter() - _t:.2f}s")
+    out3 = _run_production(
+        config, k3, log_prob_fn, out2["coords"],
+        checkpoint_every=checkpoint_every,
+        dispatch_chunk=_production_chunk(config, checkpoint_every),
+    )
+    logger.info(f"production exec+download: {_time.perf_counter() - _t:.2f}s")
 
-    _t = _time.perf_counter()
     chain = np.asarray(out3["chain"])
     log_prob = np.asarray(out3["log_prob"])
     acceptance_fraction = np.asarray(out3["acceptance_fraction"])
-    logger.info(f"chain download ({chain.nbytes / 1e6:.0f} MB): {_time.perf_counter() - _t:.2f}s")
     af = acceptance_fraction
     logger.info(
         f"acceptance fraction: mean {af.mean():.3f}, std {af.std():.3f}, min {af.min():.3f}, max {af.max():.3f}"
@@ -206,64 +205,132 @@ def _checkpoint_path(config: MCMCConfig) -> str:
     return os.path.join(config.mcmc_output_dir, "mcmc_checkpoint.pkl")
 
 
-def _run_production_with_checkpoints(
+def _production_chunk(config: MCMCConfig, checkpoint_every: int | None) -> int | None:
+    """Production dispatch-chunk size: the checkpoint cadence when set, else
+    the config's ``n_logging_steps`` (reference acceptance-logging cadence,
+    mcmc.py:187-204). None = single dispatch. ``BIQ_DISPATCH_CHUNK`` overrides
+    for tuning (0 forces single dispatch)."""
+    cadence = checkpoint_every or getattr(config, "n_logging_steps", 0) or 0
+    cadence = int(os.environ.get("BIQ_DISPATCH_CHUNK", cadence) or 0)
+    if 0 < cadence < config.n_sampling_steps:
+        return cadence
+    return None
+
+
+def _read_checkpoint_records(path: str, n_total: int) -> list[dict[str, Any]]:
+    """Read the append-only checkpoint stream; tolerates a truncated tail."""
+    records: list[dict[str, Any]] = []
+    with open(path, "rb") as f:
+        try:
+            header = pickle.load(f)
+            if header.get("version") != 2 or header.get("n_total") != n_total:
+                return []
+            while True:
+                records.append(pickle.load(f))
+        except (EOFError, pickle.UnpicklingError):
+            pass
+    return records
+
+
+def _run_production(
     config: MCMCConfig,
     key,
     log_prob_fn,
     x0,
-    checkpoint_every: int,
+    checkpoint_every: int | None,
+    dispatch_chunk: int | None,
 ) -> dict[str, Any]:
-    """Chunked production with resumable snapshots after every chunk."""
+    """Production run with streamed chunk downloads.
+
+    All chunks are dispatched back-to-back (jax async dispatch keeps the device
+    pipeline full); each chunk's chain slab is then downloaded in completion
+    order, so host transfer overlaps device execution. Per-chunk snapshots give
+    the reference's acceptance-logging cadence and — when ``checkpoint_every``
+    is set — append-only resumable checkpoints (O(total) bytes over a run; the
+    reference lists step-granular resume as an open TODO, mcmc.py:69-70).
+    """
     from bayesian_inference_tpu.mcmc.stretch import init_state, run_chunk
 
     n_total = config.n_sampling_steps
-    path = _checkpoint_path(config)
+    if not dispatch_chunk:
+        out = run_ensemble(key, log_prob_fn, x0, n_total)
+        return {**out, "chain": np.asarray(out["chain"]), "log_prob": np.asarray(out["log_prob"]),
+                "acceptance_fraction": np.asarray(out["acceptance_fraction"])}
 
+    path = _checkpoint_path(config)
     chains: list[np.ndarray] = []
     logps: list[np.ndarray] = []
-    n_accepted = np.zeros(x0.shape[0], np.int64)
+    acc_offset = np.zeros(x0.shape[0], np.int64)
     steps_done = 0
 
-    if os.path.exists(path):
-        with open(path, "rb") as f:
-            ck = pickle.load(f)
-        if ck["n_total"] == n_total and ck["steps_done"] < n_total:
-            logger.info(f"Resuming production from checkpoint at step {ck['steps_done']}")
-            chains, logps = list(ck["chains"]), list(ck["logps"])
-            n_accepted = ck["n_accepted"]
-            steps_done = ck["steps_done"]
-            x0 = jnp.asarray(ck["coords"])
-            key = jax.random.wrap_key_data(ck["key_data"])
+    ckpt_file = None
+    if checkpoint_every:
+        os.makedirs(config.mcmc_output_dir, exist_ok=True)
+        if os.path.exists(path):
+            records = _read_checkpoint_records(path, n_total)
+            if records and records[-1]["steps_done"] < n_total:
+                last = records[-1]
+                logger.info(f"Resuming production from checkpoint at step {last['steps_done']}")
+                chains = [r["chain"] for r in records]
+                logps = [r["logp"] for r in records]
+                acc_offset = last["n_accepted"]
+                steps_done = last["steps_done"]
+                x0 = jnp.asarray(last["coords"])
+                key = jax.random.wrap_key_data(last["key_data"])
+                # Rewrite header + complete records once (truncated tails drop).
+                with open(path, "wb") as f:
+                    pickle.dump({"version": 2, "n_total": n_total}, f)
+                    for r in records:
+                        pickle.dump(r, f)
+                ckpt_file = open(path, "ab")
+        if ckpt_file is None:
+            ckpt_file = open(path, "wb")
+            pickle.dump({"version": 2, "n_total": n_total}, ckpt_file)
 
+    # Dispatch every chunk up front; snapshot per-chunk state (device handles).
     state = init_state(key, log_prob_fn, x0)
-    while steps_done < n_total:
-        n = min(checkpoint_every, n_total - steps_done)
+    pending = []
+    remaining = n_total - steps_done
+    sizes = [dispatch_chunk] * (remaining // dispatch_chunk)
+    if remaining % dispatch_chunk:
+        sizes.append(remaining % dispatch_chunk)
+    for n in sizes:
         state, ys = run_chunk(state, log_prob_fn, n)
+        pending.append((n, ys, state))
+
+    # Download in order: np.asarray blocks on chunk k while k+1.. execute.
+    log_cadence = getattr(config, "n_logging_steps", 0) or 0
+    for n, ys, snap in pending:
         chains.append(np.asarray(ys[0]))
         logps.append(np.asarray(ys[1]))
         steps_done += n
-        n_accepted = n_accepted + np.asarray(state.n_accepted, np.int64)
-        state = state._replace(n_accepted=jnp.zeros_like(state.n_accepted))
-        os.makedirs(config.mcmc_output_dir, exist_ok=True)
-        with open(path, "wb") as f:
+        acc_cum = acc_offset + np.asarray(snap.n_accepted, np.int64)
+        if log_cadence and (steps_done % log_cadence == 0 or steps_done == n_total):
+            logger.info(
+                f"MCMC step {steps_done}/{n_total}: mean acceptance fraction: "
+                f"{acc_cum.mean() / steps_done:.3f}"
+            )
+        if ckpt_file is not None:
             pickle.dump({
-                "n_total": n_total,
                 "steps_done": steps_done,
-                "chains": chains,
-                "logps": logps,
-                "n_accepted": n_accepted,
-                "coords": np.asarray(state.coords),
-                "key_data": np.asarray(jax.random.key_data(state.key)),
-            }, f)
-        logger.info(f"checkpoint written at step {steps_done}/{n_total}")
+                "chain": chains[-1],
+                "logp": logps[-1],
+                "n_accepted": acc_cum,
+                "coords": np.asarray(snap.coords),
+                "key_data": np.asarray(jax.random.key_data(snap.key)),
+            }, ckpt_file)
+            ckpt_file.flush()
 
-    os.remove(path)
-    chain = np.concatenate(chains, axis=0)
+    if ckpt_file is not None:
+        ckpt_file.close()
+        os.remove(path)
+
+    final_acc = acc_offset + np.asarray(state.n_accepted, np.int64)
     return {
         "coords": state.coords,
         "final_log_prob": state.log_prob,
-        "acceptance_fraction": n_accepted.astype(float) / n_total,
-        "chain": chain,
+        "acceptance_fraction": final_acc.astype(float) / n_total,
+        "chain": np.concatenate(chains, axis=0),
         "log_prob": np.concatenate(logps, axis=0),
         "key": state.key,
     }

@@ -60,7 +60,7 @@ def _prepare_group(config: EmulationGroupConfig, n_opt_iters: int) -> dict[str, 
     Y = obs_io.predictions_matrix_from_h5(
         config.output_dir, filename=config.observables_filename, observable_filter=config.observable_filter
     )
-    state, Y_pca = pca_mod.fit_pca(jnp.asarray(Y), max_n_components=config.max_n_components_to_calculate)
+    state, Y_pca = pca_mod.fit_pca(Y, max_n_components=config.max_n_components_to_calculate)
     n_pc = config.n_pc
     evr = np.asarray(state.explained_variance_ratio)
     logger.info(f"Variance explained by first {n_pc} components: {evr[:n_pc].sum()}")
@@ -176,8 +176,10 @@ def fit_emulators(emulation_config: EmulationConfig, seed: int = 0, n_opt_iters:
 
     if fuse:
         spec = specs[0]
-        Y_all = jnp.concatenate([pending[n]["Y_pca_truncated"] for n in names], axis=1)
-        design = jnp.asarray(pending[names[0]]["design"], Y_all.dtype)
+        # Host-side concat + a single upload each (eager device concat would
+        # compile a tiny program through the remote compile service).
+        Y_all = jnp.asarray(np.concatenate([np.asarray(pending[n]["Y_pca_truncated"]) for n in names], axis=1))
+        design = jnp.asarray(np.asarray(pending[names[0]]["design"], Y_all.dtype))
         logger.info(
             f"Fused GP fit: {Y_all.shape[1]} PCs across {len(names)} groups x "
             f"{spec.n_restarts + 1} restarts (design: {design.shape})..."
@@ -247,14 +249,17 @@ def posterior_from_artifact(
 
 
 def pca_state_from_artifact(artifact: dict[str, Any]) -> pca_mod.PCAState:
+    """Rehydrate the PCA state with HOST numpy leaves: every consumer
+    (truncation covariance, plot-layer reconstructions) is setup/diagnostic
+    math where eager device ops would each compile a tiny remote program."""
     p = artifact["PCA"]
     return pca_mod.PCAState(
-        mean=jnp.asarray(p["mean"]),
-        scale=jnp.asarray(p["scale"]),
-        components=jnp.asarray(p["components"]),
-        explained_variance=jnp.asarray(p["explained_variance"]),
-        explained_variance_ratio=jnp.asarray(p["explained_variance_ratio"]),
-        singular_values=jnp.asarray(p["singular_values"]),
+        mean=np.asarray(p["mean"]),
+        scale=np.asarray(p["scale"]),
+        components=np.asarray(p["components"]),
+        explained_variance=np.asarray(p["explained_variance"]),
+        explained_variance_ratio=np.asarray(p["explained_variance_ratio"]),
+        singular_values=np.asarray(p["singular_values"]),
     )
 
 
@@ -378,13 +383,13 @@ def predict_emulation_group(
     if emulator_group_cov_unexplained is None:
         emulator_group_cov_unexplained = np.asarray(pca_mod.truncation_covariance(state, n_pc))
 
-    theta = jnp.asarray(parameters, state.components.dtype)
+    theta = jnp.asarray(parameters, jax.dtypes.canonicalize_dtype(state.components.dtype))
     z, v = gp_mod.predict_all_jit(cfg, posts, theta)  # (B, k), (B, k)
     z, v = np.asarray(z), np.asarray(v)
 
     S_k = np.asarray(state.components[:n_pc])         # (k, F)
     scale = np.asarray(state.scale)
-    mean = np.asarray(state.unscale_features(jnp.asarray(z @ S_k)))
+    mean = np.asarray(state.unscale_features(z @ S_k))  # host math: numpy leaves
 
     B = parameters.shape[0]
     cov_scaled = np.einsum("fk,bk,gk->bfg", S_k.T, v, S_k.T, optimize=True)

@@ -23,6 +23,7 @@ from bayesian_inference_tpu.ops.gram import (
     cross_covariance,
     prior_variance,
     train_gram,
+    train_gram_from_sqdiff,
 )
 
 _LOG_2PI = 1.8378770664093453
@@ -37,6 +38,25 @@ def log_marginal_likelihood(
 ) -> jax.Array:
     """LML for one GP. Differentiable in ``params``; vmap over a stacked axis."""
     K = train_gram(cfg, params, X, alpha_jitter)
+    L = jnp.linalg.cholesky(K)
+    a = jax.scipy.linalg.cho_solve((L, True), y)
+    n = y.shape[0]
+    return -0.5 * (y @ a) - jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * n * _LOG_2PI
+
+
+def log_marginal_likelihood_sqdiff(
+    cfg: KernelConfig,
+    params: KernelParams,
+    D2: jax.Array,
+    y: jax.Array,
+    alpha_jitter: float,
+) -> jax.Array:
+    """LML from precomputed ``pairwise_sqdiff(X)`` — the GP-fit objective.
+
+    Identical value to :func:`log_marginal_likelihood`; the precomputed (n, n,
+    ndim) tensor is shared across all vmapped fit instances.
+    """
+    K = train_gram_from_sqdiff(cfg, params, D2, alpha_jitter)
     L = jnp.linalg.cholesky(K)
     a = jax.scipy.linalg.cho_solve((L, True), y)
     n = y.shape[0]

@@ -25,10 +25,10 @@ from flax import struct
 
 from bayesian_inference_tpu.models.gp import (
     GPPosterior,
-    log_marginal_likelihood,
+    log_marginal_likelihood_sqdiff,
     posterior_from_params,
 )
-from bayesian_inference_tpu.ops.gram import KernelConfig, KernelParams
+from bayesian_inference_tpu.ops.gram import KernelConfig, KernelParams, pairwise_sqdiff
 
 
 def pack_params(cfg: KernelConfig, params: KernelParams) -> jax.Array:
@@ -85,54 +85,66 @@ def _to_u(spec: GPFitSpec, log_theta: jax.Array) -> jax.Array:
     return jnp.log(frac) - jnp.log1p(-frac)
 
 
-def _neg_lml_u(u: jax.Array, spec: GPFitSpec, X: jax.Array, y: jax.Array) -> jax.Array:
-    params = unpack_params(spec.cfg, _to_log_theta(spec, u), X.shape[1])
-    lml = log_marginal_likelihood(spec.cfg, params, X, y, spec.alpha_jitter)
+def _neg_lml_u(u: jax.Array, spec: GPFitSpec, D2: jax.Array, y: jax.Array) -> jax.Array:
+    params = unpack_params(spec.cfg, _to_log_theta(spec, u), D2.shape[-1])
+    lml = log_marginal_likelihood_sqdiff(spec.cfg, params, D2, y, spec.alpha_jitter)
     # Guard non-finite (ill-conditioned gram at extreme hyperparams)
     return jnp.where(jnp.isfinite(lml), -lml, jnp.asarray(jnp.inf, lml.dtype))
 
 
+# Parallel-trial step sizes along the L-BFGS direction. A well-scaled L-BFGS
+# step accepts s=1 most iterations; the smaller trials recover backtracking's
+# robustness. All trials evaluate in ONE widened batch, so the sequential
+# critical path per iteration is a single value_and_grad chain — vs ~5 chains
+# for a masked backtracking loop under vmap (grad + max_backtracking evals).
+_TRIAL_STEPS = (1.0, 0.5, 0.1, 0.02)
+
+
 def _optimize_single(
-    u0: jax.Array, spec: GPFitSpec, X: jax.Array, y: jax.Array, n_iters: int
+    u0: jax.Array, spec: GPFitSpec, D2: jax.Array, y: jax.Array, n_iters: int
 ) -> tuple[jax.Array, jax.Array]:
     """L-BFGS from one start; returns (best_u, best_neg_lml).
 
-    Backtracking linesearch (1-3 extra evaluations per step) instead of the
-    zoom linesearch: under vmap, zoom's while-loop runs until EVERY instance
-    converges (~30 masked evaluations per step at production batch sizes).
+    Each iteration: the optax L-BFGS preconditioner produces a direction, then
+    all ``_TRIAL_STEPS`` candidates along it are evaluated (value AND grad) in
+    one widened vmapped call; the lowest objective wins and its gradient seeds
+    the next iteration. The running best is tracked so an occasional uphill
+    move (all trials worse) cannot degrade the returned optimum — matching the
+    multi-restart semantics where only the best basin matters.
     """
-    obj = partial(_neg_lml_u, spec=spec, X=X, y=y)
-    # Under vmap the linesearch while-loop runs its max step count whenever any
-    # instance is still searching, so the cap IS the per-iteration eval count:
-    # keep it small (validated against sklearn LMLs in tests/test_gp.py).
-    opt = optax.lbfgs(
-        linesearch=optax.scale_by_backtracking_linesearch(
-            max_backtracking_steps=4, store_grad=True
-        )
-    )
-    state0 = opt.init(u0)
-    v0 = obj(u0)
+    obj = partial(_neg_lml_u, spec=spec, D2=D2, y=y)
+    precond = optax.scale_by_lbfgs(memory_size=8)
+    state0 = precond.init(u0)
+    steps = jnp.asarray(_TRIAL_STEPS, u0.dtype)
+
+    v0, g0 = jax.value_and_grad(obj)(u0)
+    g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
 
     def step(carry, _):
-        u, opt_state, best_u, best_v = carry
-        value, grad = jax.value_and_grad(obj)(u)
-        grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
-        updates, opt_state = opt.update(
-            grad, opt_state, u, value=value, grad=grad, value_fn=obj
-        )
-        u_new = optax.apply_updates(u, updates)
-        u_new = jnp.where(jnp.isfinite(u_new), u_new, u)
-        improved = value < best_v
-        best_u = jnp.where(improved, u, best_u)
-        best_v = jnp.where(improved, value, best_v)
-        return (u_new, opt_state, best_u, best_v), None
+        u, g, v, opt_state, best_u, best_v = carry
+        # scale_by_lbfgs outputs P@g (to be SUBTRACTED: w' = w - s * P g); its
+        # memory update uses the actual (params, grad) sequence we feed it, so
+        # any trial step size keeps the curvature pairs consistent.
+        direction, opt_state = precond.update(g, opt_state, u)
+        cands = u[None, :] - steps[:, None] * direction[None, :]  # (K, P)
+        vals, grads = jax.vmap(jax.value_and_grad(obj))(cands)    # (K,), (K, P)
+        j = jnp.argmin(vals)
+        u_n, v_n, g_n = cands[j], vals[j], grads[j]
+        # All-trials-non-finite: stay put (best_u/best_v already hold the optimum).
+        bad = ~jnp.isfinite(v_n)
+        u_n = jnp.where(bad, u, u_n)
+        v_n = jnp.where(bad, v, v_n)
+        g_n = jnp.where(bad, g, g_n)
+        g_n = jnp.where(jnp.isfinite(g_n), g_n, 0.0)
+        improved = v_n < best_v
+        best_u = jnp.where(improved, u_n, best_u)
+        best_v = jnp.where(improved, v_n, best_v)
+        return (u_n, g_n, v_n, opt_state, best_u, best_v), None
 
-    (u_f, _, best_u, best_v), _ = jax.lax.scan(
-        step, (u0, state0, u0, v0), None, length=n_iters
+    (_, _, _, _, best_u, best_v), _ = jax.lax.scan(
+        step, (u0, g0, v0, state0, u0, v0), None, length=n_iters
     )
-    v_f = obj(u_f)
-    final_better = v_f < best_v
-    return jnp.where(final_better, u_f, best_u), jnp.where(final_better, v_f, best_v)
+    return best_u, best_v
 
 
 def fit_gps(
@@ -180,13 +192,15 @@ def _fit_gps_impl(
     halve = 0 < spec.halving_keep < R and spec.n_iters > spec.halving_iters
     iters1 = spec.halving_iters if halve else spec.n_iters
 
+    D2 = pairwise_sqdiff(X)  # (N, N, d), shared by every fit instance
+
     u0_flat = shard_leading_axis(u0.reshape(k * R, P), mesh)
     y_flat = shard_leading_axis(jnp.repeat(Y_pc.T, R, axis=0), mesh)  # (k*R, N)
     # Exploration stage: basin selection tolerates reduced matmul precision
     # (~6x cheaper on the MXU); the survivors are re-polished at full float32.
     with jax.default_matmul_precision("default"):
         u1_flat, v1_flat = jax.vmap(
-            lambda u, y: _optimize_single(u, spec, X, y, iters1)
+            lambda u, y: _optimize_single(u, spec, D2, y, iters1)
         )(u0_flat, y_flat)
 
     if halve:
@@ -198,7 +212,7 @@ def _fit_gps_impl(
         u2_flat = shard_leading_axis(u_sel.reshape(k * keep, P), mesh)
         y2_flat = shard_leading_axis(jnp.repeat(Y_pc.T, keep, axis=0), mesh)
         u2, v2 = jax.vmap(
-            lambda u, y: _optimize_single(u, spec, X, y, spec.n_iters - iters1)
+            lambda u, y: _optimize_single(u, spec, D2, y, spec.n_iters - iters1)
         )(u2_flat, y2_flat)
         best_u = u2.reshape(k, keep, P)
         best_v = v2.reshape(k, keep)
@@ -233,24 +247,29 @@ def spec_from_reference_config(
 ) -> GPFitSpec:
     """Build a GPFitSpec with the reference's kernel initialization semantics
     (emulation.py:132-162): initial length scale = prior range (max - min),
-    bounds = outer(range, factor)."""
-    ls0 = jnp.asarray(param_max, dtype) - jnp.asarray(param_min, dtype)
-    lo_parts = [jnp.log(ls0 * length_scale_bounds_factor[0])]
-    hi_parts = [jnp.log(ls0 * length_scale_bounds_factor[1])]
-    theta0_parts = [jnp.log(ls0)]
+    bounds = outer(range, factor). Host numpy math (eager device ops each
+    compile a tiny remote program); leaves upload once at the jitted fit call.
+    """
+    import numpy as np
+
+    np_dtype = np.dtype(jax.dtypes.canonicalize_dtype(dtype if dtype is not None else jnp.float64))
+    ls0 = np.asarray(param_max, np.float64) - np.asarray(param_min, np.float64)
+    lo_parts = [np.log(ls0 * length_scale_bounds_factor[0])]
+    hi_parts = [np.log(ls0 * length_scale_bounds_factor[1])]
+    theta0_parts = [np.log(ls0)]
     if cfg.with_constant:
-        lo_parts.append(jnp.log(jnp.asarray([constant_value_bounds[0]], dtype)))
-        hi_parts.append(jnp.log(jnp.asarray([constant_value_bounds[1]], dtype)))
-        theta0_parts.append(jnp.log(jnp.asarray([constant_value], dtype)))
+        lo_parts.append(np.log([constant_value_bounds[0]]))
+        hi_parts.append(np.log([constant_value_bounds[1]]))
+        theta0_parts.append(np.log([constant_value]))
     if cfg.with_noise:
-        lo_parts.append(jnp.log(jnp.asarray([noise_level_bounds[0]], dtype)))
-        hi_parts.append(jnp.log(jnp.asarray([noise_level_bounds[1]], dtype)))
-        theta0_parts.append(jnp.log(jnp.asarray([noise_level], dtype)))
+        lo_parts.append(np.log([noise_level_bounds[0]]))
+        hi_parts.append(np.log([noise_level_bounds[1]]))
+        theta0_parts.append(np.log([noise_level]))
     return GPFitSpec(
         cfg=cfg,
-        theta0=jnp.concatenate(theta0_parts),
-        log_lo=jnp.concatenate(lo_parts),
-        log_hi=jnp.concatenate(hi_parts),
+        theta0=np.concatenate(theta0_parts).astype(np_dtype),
+        log_lo=np.concatenate(lo_parts).astype(np_dtype),
+        log_hi=np.concatenate(hi_parts).astype(np_dtype),
         n_restarts=n_restarts,
         n_iters=n_iters,
         alpha_jitter=alpha_jitter,

@@ -77,20 +77,24 @@ def _svd_sign_flip(U, Vt):
     return U * signs, Vt * signs[:, None]
 
 
-def fit_pca(Y: jax.Array, max_n_components: int | None = None) -> tuple[PCAState, jax.Array]:
+def fit_pca(Y, max_n_components: int | None = None) -> tuple[PCAState, "jax.Array"]:
     """Fit scaler + full-SVD PCA; returns (state, Y_pca) with Y_pca = all-PC scores.
 
     ``max_n_components`` caps how many PCs are kept (the reference's
     max_n_components_to_calculate, emulation.py:112-115).
 
-    The SVD itself runs on the host (LAPACK, float64): this is a one-time
-    setup factorization of a ~(200, 215) matrix — microseconds on CPU, while
-    iterative SVD of tiny matrices is an anti-pattern on TPU. Outputs are
-    device arrays in the input dtype; everything downstream stays on-chip.
+    Runs ENTIRELY on the host (LAPACK float64 SVD of a ~(200, 215) matrix) and
+    returns HOST numpy leaves in the canonical jax dtype: PCA is one-time setup
+    math, and on a remote-compile TPU every eager device op or device round
+    trip costs seconds (see CLAUDE.md). Callers upload exactly the pieces the
+    device needs (e.g. the truncated PC scores for the GP fit); PCAState's
+    methods are dtype-polymorphic, so they work on numpy leaves directly and
+    still trace cleanly if a state is passed into a jit program.
     """
     import numpy as np
 
-    dtype = jnp.asarray(Y).dtype if hasattr(Y, "dtype") else jnp.zeros(()).dtype
+    in_dtype = np.asarray(Y).dtype if hasattr(Y, "dtype") else np.float64
+    dtype = jax.dtypes.canonicalize_dtype(in_dtype)
     Yh = np.asarray(Y, np.float64)
     n_samples = Yh.shape[0]
     mean = Yh.mean(axis=0)
@@ -107,24 +111,25 @@ def fit_pca(Y: jax.Array, max_n_components: int | None = None) -> tuple[PCAState
 
     k = min(max_n_components, s.shape[0]) if max_n_components is not None else s.shape[0]
     state = PCAState(
-        mean=jnp.asarray(mean, dtype),
-        scale=jnp.asarray(scale, dtype),
-        components=jnp.asarray(Vt[:k], dtype),
-        explained_variance=jnp.asarray(explained_variance[:k], dtype),
-        explained_variance_ratio=jnp.asarray(ratio[:k], dtype),
-        singular_values=jnp.asarray(s[:k], dtype),
+        mean=np.asarray(mean, dtype),
+        scale=np.asarray(scale, dtype),
+        components=np.asarray(Vt[:k], dtype),
+        explained_variance=np.asarray(explained_variance[:k], dtype),
+        explained_variance_ratio=np.asarray(ratio[:k], dtype),
+        singular_values=np.asarray(s[:k], dtype),
     )
-    Y_pca = jnp.asarray(U[:, :k] * s[:k], dtype)
+    Y_pca = np.asarray(U[:, :k] * s[:k], dtype)
     return state, Y_pca
 
 
-def truncation_covariance(state: PCAState, n_pc: int) -> jax.Array:
+def truncation_covariance(state: PCAState, n_pc: int):
     """Predictive covariance of the discarded PCs, in *scaled* feature space.
 
     Sigma_unexplained = S_{>n_pc} D^2_{>n_pc} S_{>n_pc}^T (eqs 21-22 of
     arXiv:2102.11337; reference emulation.py:227-251). Computed from the stored
     components beyond n_pc — requires the state to have been fit with enough
-    components retained.
+    components retained. Polymorphic: numpy leaves give host math (the MCMC
+    setup path), jax leaves give device math.
     """
     S_rest = state.components[n_pc:].T          # (n_features, n_rest)
     D2 = state.explained_variance[n_pc:]

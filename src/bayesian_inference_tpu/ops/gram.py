@@ -66,6 +66,40 @@ def _scaled_sqdist(X1: jax.Array, X2: jax.Array, length_scale: jax.Array) -> jax
     return jnp.sum(diff * diff, axis=-1)
 
 
+def pairwise_sqdiff(X: jax.Array) -> jax.Array:
+    """Per-dimension squared differences (x_ik - x_jk)^2; (n, n, ndim).
+
+    Shared across every (PC, restart, linesearch-candidate) instance of the GP
+    fit: the instance-specific scaled squared distance is the exact contraction
+    ``einsum('ijk,k->ij', D2, 1/ls^2)``, so the fit's vmapped objective never
+    materializes a (batch, n, n, ndim) tensor.
+    """
+    diff = X[:, None, :] - X[None, :, :]
+    return diff * diff
+
+
+def _sqdist_from_sqdiff(D2: jax.Array, length_scale: jax.Array) -> jax.Array:
+    w = 1.0 / (length_scale * length_scale)
+    # HIGHEST: this contraction must not drop to bf16 when callers lower the
+    # ambient matmul precision for the exploration stage (distance precision
+    # feeds the Cholesky; see _scaled_sqdist notes). ndim ~ 6 so it is cheap.
+    return jnp.einsum("ijk,k->ij", D2, w, precision=jax.lax.Precision.HIGHEST)
+
+
+def train_gram_from_sqdiff(
+    cfg: KernelConfig, params: KernelParams, D2: jax.Array, alpha_jitter: float | jax.Array = 0.0
+) -> jax.Array:
+    """Training Gram from precomputed pairwise_sqdiff(X) (fit hot path)."""
+    ls = jnp.exp(params.log_length_scale)
+    K = matern_from_sqdist(_sqdist_from_sqdiff(D2, ls), cfg.nu)
+    if cfg.with_constant:
+        K = K + jnp.exp(params.log_constant)
+    diag = jnp.asarray(alpha_jitter, K.dtype)
+    if cfg.with_noise:
+        diag = diag + jnp.exp(params.log_noise)
+    return K + diag * jnp.eye(D2.shape[0], dtype=K.dtype)
+
+
 def matern_from_sqdist(sq: jax.Array, nu: float | None) -> jax.Array:
     """Covariance from squared scaled distance. nu=None selects RBF."""
     if nu is None:

@@ -104,10 +104,11 @@ class EmulationGroupConfig:
 
     def fit_spec(self, n_iters: int = 100, dtype=None):
         from bayesian_inference_tpu.models.gp_fit import spec_from_reference_config
+        import jax
         import jax.numpy as jnp
 
         if dtype is None:
-            dtype = jnp.float64 if jnp.zeros(()).dtype == jnp.float64 else jnp.float32
+            dtype = jax.dtypes.canonicalize_dtype(jnp.float64)
         pmin, pmax = self.parameter_bounds()
         base_key = "matern" if "matern" in self.active_kernels else "rbf"
         kwargs: dict[str, Any] = {

@@ -180,7 +180,23 @@ def main() -> None:
         "--profile", type=str, default=None, metavar="TRACE_DIR",
         help="Write a jax.profiler device trace for the run to TRACE_DIR",
     )
+    parser.add_argument(
+        "--platform", type=str, default=os.environ.get("BIQ_PLATFORM"),
+        help="Force a jax platform (e.g. 'cpu'). Needed where a sitecustomize "
+        "pre-selects a backend so JAX_PLATFORMS set at launch is ignored.",
+    )
+    parser.add_argument(
+        "--x64", action="store_true", default=bool(os.environ.get("BIQ_X64")),
+        help="Enable float64 (CPU cross-check runs)",
+    )
     args = parser.parse_args()
+    if args.platform or args.x64:
+        import jax
+
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        if args.x64:
+            jax.config.update("jax_enable_x64", True)
     if not os.path.exists(args.configFile):
         raise ValueError(f"File {args.configFile} does not exist!")
 

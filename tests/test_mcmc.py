@@ -248,19 +248,21 @@ def test_checkpoint_resume(likelihood_setup, tmp_path):
     # fabricate an interrupted state: rerun, then truncate via a stored snapshot
     out_full = run_mcmc(cfg, seed=4, checkpoint_every=16)
 
-    # simulate interruption: write a partial checkpoint and resume
-    partial = {
-        "n_total": cfg.n_sampling_steps,
+    # simulate interruption: write a partial append-stream checkpoint (header +
+    # one complete chunk record + a truncated tail, which resume must drop)
+    record = {
         "steps_done": 16,
-        "chains": [out_full["chain"][:16]],
-        "logps": [out_full["log_prob"][:16]],
+        "chain": out_full["chain"][:16],
+        "logp": out_full["log_prob"][:16],
         "n_accepted": np.zeros(cfg.n_walkers, np.int64),
         "coords": out_full["chain"][15],
         "key_data": np.asarray(jax.random.key_data(jax.random.key(99))),
     }
     os.makedirs(cfg.mcmc_output_dir, exist_ok=True)
     with open(_checkpoint_path(cfg), "wb") as f:
-        pickle.dump(partial, f)
+        pickle.dump({"version": 2, "n_total": cfg.n_sampling_steps}, f)
+        pickle.dump(record, f)
+        f.write(pickle.dumps({"steps_done": 32})[: 20])  # torn write
     out_resumed = run_mcmc(cfg, seed=5, checkpoint_every=16)
     assert out_resumed["chain"].shape[0] == cfg.n_sampling_steps
     np.testing.assert_allclose(out_resumed["chain"][:16], out_full["chain"][:16])
