@@ -25,6 +25,7 @@ def make_analysis_yaml(
     analysis_name: str = "analysis_test",
     n_restarts: int = 2,
     copy_observables: bool = True,
+    observables_filename: str = "observables.h5",
 ) -> tuple[Path, str, str]:
     """Write a reference-schema YAML pointing at the fixture data, and stage
     observables.h5 into the output dir. Returns (config_path, analysis_name, parameterization)."""
@@ -62,7 +63,7 @@ def make_analysis_yaml(
                  "closure_tests": False, "across_analyses": False},
         "observable_table_dir": str(_DATA_DIR / "tables"),
         "observable_config_dir": str(_DATA_DIR),
-        "observables_filename": "observables.h5",
+        "observables_filename": observables_filename,
         "analyses": {
             analysis_name: {
                 "parameterizations": [parameterization],
