@@ -112,3 +112,43 @@ def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet
         if not quiet:
             raise AutocorrError(msg)
     return tau_est
+
+
+def integrated_time_per_walker(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0) -> tuple[npt.NDArray, npt.NDArray]:
+    """Per-walker integrated autocorrelation time (reference plot_mcmc.py:179-204,
+    which loops emcee.autocorr.integrated_time over single-walker chains).
+
+    One batched FFT over all (walker, parameter) series, then Sokal windowing
+    vectorized over every series independently (no cross-walker averaging).
+
+    Returns (tau, reliable): tau shape (n_walkers, n_dim); ``reliable`` is a
+    same-shape boolean mask, False where the chain is shorter than ``tol`` tau
+    (the reference logs those walkers and leaves their entries at zero — keep
+    the values and let the caller decide).
+    """
+    from scipy import fft as sfft
+
+    import os
+
+    chain = np.asarray(chain)
+    if not np.issubdtype(chain.dtype, np.floating):
+        chain = chain.astype(np.float64)
+    if chain.ndim == 2:
+        chain = chain[:, :, None]
+    n_t, n_w, n_d = chain.shape
+    n = _next_pow_two(n_t)
+    x = (chain - chain.mean(axis=0)).reshape(n_t, n_w * n_d)
+    workers = os.cpu_count() or 1
+    f = sfft.rfft(x, n=2 * n, axis=0, workers=workers)
+    np.multiply(f, np.conjugate(f), out=f)
+    acf = sfft.irfft(f, n=2 * n, axis=0, workers=workers)[:n_t]
+    acf0 = acf[0]
+    acf = acf / np.where(acf0 == 0.0, 1.0, acf0)
+    taus_all = 2.0 * np.cumsum(acf.astype(np.float64), axis=0) - 1.0  # (n_t, n_w*n_d)
+
+    # emcee auto_window semantics, vectorized per series
+    m = np.arange(n_t)[:, None] < c * taus_all
+    win = np.where(m.any(axis=0), np.argmin(m, axis=0), n_t - 1)
+    tau = taus_all[win, np.arange(taus_all.shape[1])].reshape(n_w, n_d)
+    reliable = tol * tau <= n_t
+    return tau, reliable

@@ -214,6 +214,7 @@ class MCMCConfig:
     n_sampling_steps: int = attrs.field(init=False)
     n_logging_steps: int = attrs.field(init=False)
     likelihood_mode: str = attrs.field(init=False)
+    confidence: float = attrs.field(init=False)
     output_dir: str = attrs.field(init=False)
     mcmc_output_dir: str = attrs.field(init=False)
     mcmc_outputfile: str = attrs.field(init=False)
@@ -232,6 +233,12 @@ class MCMCConfig:
         # 'block' = reference-parity per-observable covariance blocks;
         # 'lowrank' = full cross-observable covariance via the Woodbury identity
         self.likelihood_mode = mcmc.get("likelihood_mode", "block")
+
+        # Closure credible level for HPDI overlays on posterior pairplots
+        # (reference plot_mcmc.py:272 uses config.confidence). Configs may list
+        # several levels (rehlers.yaml); the first is used for plots.
+        conf = self.analysis_config["parameters"].get("closure", {}).get("confidence", 0.9)
+        self.confidence = float(conf[0] if isinstance(conf, (list, tuple)) else conf)
 
         self.output_dir = os.path.join(
             self.config["output_dir"], f"{self.analysis_name}_{self.parameterization}"

@@ -38,16 +38,32 @@ def plot(config) -> None:
 
     indices = sorted(int(i) for i in os.listdir(closure_base) if i.isdigit())
     successes_T, totals = 0, 0
+    theta_successes = 0
     per_point = []
+    names = config.analysis_config["parameterization"][config.parameterization]["names"]
+    confidence = getattr(config, "confidence", 0.9)
     for i in indices:
         run_dir = os.path.join(closure_base, str(i))
         if not os.path.exists(os.path.join(run_dir, "mcmc.h5")):
             continue
         results = hdf5.read_dict_from_h5(run_dir, "mcmc.h5", verbose=False)
-        chain = np.asarray(results["chain"]).reshape(-1, np.asarray(results["chain"]).shape[-1])
+        full_chain = np.asarray(results["chain"])
+        chain = full_chain.reshape(-1, full_chain.shape[-1])
         truth = np.asarray(results["design_point"])
+        point_dir = ensure_plot_dir(plot_dir, f"point_{i}")
+        # Posterior pairplot with HPDI bands + the holdout truth marker
+        # (reference plot_mcmc.py:236-290); returns the theta-space closure
+        # verdict (truth inside every marginal HPDI).
+        from bayesian_inference_tpu.plots.mcmc import _plot_pairplot
+
+        theta_inside = _plot_pairplot(
+            full_chain, names, point_dir,
+            confidence=confidence, holdout_point=truth,
+            filename="pairplot_holdout.pdf",
+        )
+        theta_successes += int(bool(theta_inside))
         containment = plot_qhat_mod.plot_qhat_band(
-            chain, config, ensure_plot_dir(plot_dir, f"point_{i}"), "qhat_vs_T.pdf",
+            chain, config, point_dir, "qhat_vs_T.pdf",
             vs="T", fixed=100.0, target_design_point=truth,
         )
         if containment is not None:
@@ -55,6 +71,11 @@ def plot(config) -> None:
             per_point.append((i, frac))
             successes_T += int(frac > 0.5)
             totals += 1
+    if totals:
+        logger.info(
+            f"theta-space closure: truth inside all marginal "
+            f"{int(confidence * 100)}% HPDIs for {theta_successes}/{totals} points"
+        )
 
     if totals:
         eff = successes_T / totals

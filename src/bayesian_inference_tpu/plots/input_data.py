@@ -1,11 +1,15 @@
 """Input-data plots (reference plot_input_data.py): all-design-point prediction
-spaghetti per observable (standard and preprocessed), design-point pairplot."""
+spaghetti per observable (standard and preprocessed), design-point pairplot,
+and per-bin pairwise correlation studies with OLS regression, RMS-distance
+outlier identification, and design-point annotation."""
 
 from __future__ import annotations
 
 import logging
 import os
+from typing import Iterable
 
+import attrs
 import matplotlib
 
 matplotlib.use("Agg")
@@ -16,6 +20,113 @@ from bayesian_inference_tpu.io import hdf5, observables as obs_io
 from bayesian_inference_tpu.plots.utils import ensure_plot_dir
 
 logger = logging.getLogger(__name__)
+
+# Memory/figure-size guard when chunking wide feature matrices into pair grids
+# (reference plot_input_data.py:118 uses the same cap for emulator groups).
+MAX_CHUNK_SIZE = 30
+
+# Per-observable grids are additionally chunked: matplotlib cost grows with
+# axes-count squared (a 21-bin observable is a 441-axes figure, ~1 min to
+# render), so wide observables are split into blocks of this many bins. The
+# reference renders the full grid in one figure (plot_input_data.py:88-104);
+# the outlier identification is unaffected (it is pairwise within each chunk).
+MAX_BINS_PER_OBSERVABLE_GRID = 8
+
+
+@attrs.frozen
+class ObservableGrouping:
+    """How to group observable bins into pair-correlation grids (reference
+    plot_input_data.py:53-147): one grid per observable, one per emulator
+    group (chunked at MAX_CHUNK_SIZE), or fixed-size chunks of the globally
+    sorted feature matrix."""
+
+    observable_by_observable: bool = False
+    emulator_groups: bool = False
+    fixed_size: int | None = None
+
+    @property
+    def label(self) -> str:
+        if self.observable_by_observable:
+            return "observable_by_observable"
+        if self.emulator_groups:
+            return "emulator_groups"
+        if self.fixed_size is not None:
+            return f"observable_group_by_{self.fixed_size}"
+        raise ValueError(f"Invalid ObservableGrouping settings: {self}")
+
+    def gen(
+        self, config, observables_filename: str, validation_set: bool
+    ) -> Iterable[tuple[str, str, np.ndarray, np.ndarray, list[str]]]:
+        """Yield (label, title, matrix (n_design, n_cols), design_point_ids,
+        column_names) per grid."""
+        observables = hdf5.read_dict_from_h5(
+            config.output_dir, observables_filename, verbose=False
+        )
+        design_key = "Design_indices_validation" if validation_set else "Design_indices"
+        pred_key = "Prediction_validation" if validation_set else "Prediction"
+        n_design = obs_io.design_array_from_h5(
+            config.output_dir, observables_filename, validation_set=validation_set
+        ).shape[0]
+        design_points = np.asarray(observables.get(design_key, np.arange(n_design)))
+
+        if self.observable_by_observable:
+            for label in obs_io.sorted_observable_list_from_dict(
+                observables[pred_key], observable_filter=config.observable_filter
+            ):
+                y = np.atleast_2d(observables[pred_key][label]["y"]).T  # (n_design, n_bins)
+                if y.shape[1] <= MAX_BINS_PER_OBSERVABLE_GRID:
+                    cols = [f"bin {i}" for i in range(y.shape[1])]
+                    yield f"observable_{label}", label, y, design_points, cols
+                else:
+                    for i_chunk, start in enumerate(
+                        range(0, y.shape[1], MAX_BINS_PER_OBSERVABLE_GRID)
+                    ):
+                        sl = slice(start, min(start + MAX_BINS_PER_OBSERVABLE_GRID, y.shape[1]))
+                        cols = [f"bin {i}" for i in range(sl.start, sl.stop)]
+                        yield (
+                            f"observable_{label}__bins_{i_chunk}",
+                            f"{label} (bins {sl.start}-{sl.stop - 1})",
+                            y[:, sl], design_points, cols,
+                        )
+        elif self.emulator_groups:
+            for group_name, group_cfg in config.emulation_groups_config.items():
+                Y = obs_io.predictions_matrix_from_h5(
+                    config.output_dir, observables_filename,
+                    validation_set=validation_set,
+                    observable_filter=group_cfg.observable_filter,
+                )
+                yield from _chunk_matrix(
+                    Y, design_points, chunk_size=MAX_CHUNK_SIZE,
+                    base_label=group_name, base_title=f"Group {group_name}",
+                )
+        elif self.fixed_size is not None:
+            Y = obs_io.predictions_matrix_from_h5(
+                config.output_dir, observables_filename,
+                validation_set=validation_set,
+                observable_filter=config.observable_filter,
+            )
+            yield from _chunk_matrix(
+                Y, design_points, chunk_size=self.fixed_size,
+                base_label="", base_title=f"Fixed size: {self.fixed_size}",
+            )
+        else:
+            raise ValueError(f"Invalid ObservableGrouping settings: {self}")
+
+
+def _chunk_matrix(Y, design_points, chunk_size, base_label, base_title):
+    n_features = Y.shape[1]
+    if n_features <= chunk_size:
+        cols = [f"feature {i}" for i in range(n_features)]
+        yield base_label, base_title, Y, design_points, cols
+        return
+    for i_chunk, start in enumerate(range(0, n_features, chunk_size)):
+        sl = slice(start, min(start + chunk_size, n_features))
+        cols = [f"feature {i}" for i in range(sl.start, sl.stop)]
+        yield (
+            f"{base_label}_chunk_{i_chunk}" if base_label else f"chunk_{i_chunk}",
+            f"{base_title} (features {sl.start}-{sl.stop - 1})",
+            Y[:, sl], design_points, cols,
+        )
 
 
 def plot(config) -> None:
@@ -33,7 +144,40 @@ def plot(config) -> None:
 
     observables = hdf5.read_dict_from_h5(config.output_dir, "observables.h5", verbose=False)
     _plot_design_pairplot(np.atleast_2d(observables["Design"]), plot_dir)
-    plot_observable_correlations(observables, plot_dir)
+
+    # Per-bin correlation studies (reference plot_input_data.py:190-232):
+    # observable-by-observable with outlier identification, then with every
+    # design point annotated, on the preprocessed file when available.
+    corr_filename = "observables_preprocessed.h5"
+    if not os.path.exists(os.path.join(config.output_dir, corr_filename)):
+        corr_filename = "observables.h5"
+    grouping = ObservableGrouping(observable_by_observable=True)
+    # Rendering hundreds of pair-grid figures is expensive; the load-bearing
+    # output (the exclusion-candidate list) comes from the outlier study on
+    # the training set, so that always runs. The validation-set study and the
+    # annotate-every-design-point variants (reference plot_input_data.py:205-223)
+    # are debugging aids, gated behind debug_level > 0.
+    debug = int(config.config.get("debug_level", 0) or 0) if hasattr(config, "config") else 0
+    validation_sets = (False, True) if debug > 0 else (False,)
+    for validation_set in validation_sets:
+        identified = plot_pairplot_correlations(
+            config, plot_dir, observable_grouping=grouping,
+            outliers_n_rms=4.0, validation_set=validation_set,
+            observables_filename=corr_filename,
+        )
+        summary: set[int] = set()
+        for pts in identified.values():
+            summary.update(pts)
+        logger.info(
+            f"correlation-study outlier design points "
+            f"(validation={validation_set}, n={len(summary)}): {sorted(summary)}"
+        )
+        if debug > 0:
+            plot_pairplot_correlations(
+                config, plot_dir, observable_grouping=grouping,
+                annotate_design_points=True, validation_set=validation_set,
+                observables_filename=corr_filename,
+            )
 
 
 def _plot_prediction_spaghetti(observables: dict, plot_dir: str, tag: str) -> None:
@@ -86,60 +230,95 @@ def _ols_fit(x: np.ndarray, y: np.ndarray) -> tuple[float, float, float]:
     return float(coef[0]), float(coef[1]), float(r2)
 
 
-def plot_observable_correlations(
-    observables: dict, plot_dir: str, labels: list[str] | None = None,
-    n_rms_outlier: float = 3.0, tag: str = "standard",
-) -> dict[str, list[int]]:
-    """Pairwise correlation study between observables across design points with
-    least-squares regression lines and RMS-distance outlier identification
-    (reference plot_input_data.py:323-478, statsmodels OLS replaced by a
-    numpy least-squares fit). Observables are summarized by their bin-averaged
-    prediction per design point. Returns {pair_label: outlier design columns}.
-    """
-    from bayesian_inference_tpu.io.observables import sorted_observable_list_from_dict
+def _distance_from_line(x: np.ndarray, y: np.ndarray, m: float, b: float) -> np.ndarray:
+    """Perpendicular distance of each point from y = m x + b (reference
+    plot_input_data.py:481-492)."""
+    return np.abs(m * x - y + b) / np.sqrt(m**2 + 1)
 
-    if labels is None:
-        labels = sorted_observable_list_from_dict(observables["Prediction"])
-    # summarize each observable as its mean over bins -> (n_design,) series
-    series = {
-        lbl: np.atleast_2d(observables["Prediction"][lbl]["y"]).mean(axis=0) for lbl in labels
-    }
-    n = len(labels)
-    if n < 2:
-        return {}
-    fig, axes = plt.subplots(n, n, figsize=(2.1 * n, 2.1 * n))
-    outliers: dict[str, list[int]] = {}
-    for i in range(n):
-        for j in range(n):
-            ax = axes[i][j]
-            if i == j:
-                ax.hist(series[labels[i]], bins=20, color="steelblue")
-            elif i > j:
-                x, y = series[labels[j]], series[labels[i]]
-                a, b, r2 = _ols_fit(x, y)
-                resid = y - (a + b * x)
-                rms = np.sqrt(np.mean(resid**2))
-                bad = np.where(np.abs(resid) > n_rms_outlier * rms)[0]
-                ax.plot(x, y, ".", ms=2)
-                xs = np.linspace(x.min(), x.max(), 10)
-                ax.plot(xs, a + b * xs, "r-", lw=0.8)
-                ax.text(0.03, 0.9, f"$R^2$={r2:.2f}", transform=ax.transAxes, fontsize=5)
-                if bad.size:
-                    ax.plot(x[bad], y[bad], "rx", ms=5)
-                    for k in bad:
-                        ax.annotate(str(k), (x[k], y[k]), fontsize=4, color="red")
-                    outliers[f"{labels[j]} vs {labels[i]}"] = bad.tolist()
-            else:
-                ax.axis("off")
-            ax.tick_params(labelsize=4)
-            if i == n - 1:
-                ax.set_xlabel(labels[j].replace("__", "\n"), fontsize=4)
-            if j == 0:
-                ax.set_ylabel(labels[i].replace("__", "\n"), fontsize=4)
-    fig.tight_layout()
-    fig.savefig(os.path.join(plot_dir, f"observable_correlations__{tag}.pdf"))
-    plt.close(fig)
-    if outliers:
-        flat = sorted({k for v in outliers.values() for k in v})
-        logger.warning(f"correlation-study outlier design columns ({tag}): {flat}")
-    return outliers
+
+def plot_pairplot_correlations(
+    config,
+    plot_dir: str,
+    observable_grouping: ObservableGrouping | None = None,
+    outliers_n_rms: float | None = None,
+    annotate_design_points: bool = False,
+    validation_set: bool = False,
+    observables_filename: str = "observables.h5",
+) -> dict[str, set]:
+    """Per-bin pair-correlation grids across design points (reference
+    plot_input_data.py:323-478 + PairGridWithRegression :494-692, statsmodels
+    OLS replaced by a numpy least-squares fit): lower triangle = scatter with a
+    regression line, diagonal = histogram. With ``outliers_n_rms``, bins whose
+    perpendicular RMS distance from the fit exceeds n_RMS * RMS are marked and
+    annotated with their design-point index and +-n_RMS bands are drawn; with
+    ``annotate_design_points``, every point carries its design index.
+
+    Returns {grid_label: set of outlier design-point ids}.
+    """
+    if observable_grouping is None:
+        observable_grouping = ObservableGrouping(fixed_size=5)
+
+    base = f"{observables_filename.split('.')[0]}_pairplot_correlations"
+    if validation_set:
+        base += "_validation"
+    base += f"__{observable_grouping.label}"
+    if annotate_design_points:
+        base += "__annotated"
+    if outliers_n_rms is not None:
+        base += "__outliers"
+
+    identified_outliers: dict[str, set[int]] = {}
+    for label, title, Y, design_points, cols in observable_grouping.gen(
+        config, observables_filename, validation_set
+    ):
+        n = Y.shape[1]
+        if n < 2:
+            continue
+        fig, axes = plt.subplots(n, n, figsize=(1.9 * n, 1.9 * n), squeeze=False)
+        grid_outliers: set[int] = set()
+        for i in range(n):
+            for j in range(n):
+                ax = axes[i][j]
+                if i == j:
+                    ax.hist(Y[:, i], bins=20, color="steelblue")
+                elif i > j:
+                    x, y = Y[:, j], Y[:, i]
+                    ax.plot(x, y, ".", ms=2, color="steelblue")
+                    a, b, r2 = _ols_fit(x, y)
+                    xs = np.linspace(x.min(), x.max(), 100)
+                    if outliers_n_rms is not None:
+                        ax.plot(xs, a + b * xs, "r-", lw=0.8)
+                        dist = _distance_from_line(x, y, m=b, b=a)
+                        rms = np.sqrt(np.mean(dist**2))
+                        bad = np.where(dist > outliers_n_rms * rms)[0]
+                        # +-n_RMS bands around the fit for reference
+                        ax.plot(xs, a + b * xs + outliers_n_rms * rms, "r--", lw=0.6)
+                        ax.plot(xs, a + b * xs - outliers_n_rms * rms, "r--", lw=0.6)
+                        for k in bad:
+                            ax.annotate(
+                                str(design_points[k]), (x[k], y[k]),
+                                fontsize=5, color="tab:blue",
+                            )
+                            grid_outliers.add(int(design_points[k]))
+                        ax.text(0.03, 0.9, f"$R^2$={r2:.2f}", transform=ax.transAxes, fontsize=5)
+                    if annotate_design_points:
+                        for k in range(len(x)):
+                            ax.annotate(str(design_points[k]), (x[k], y[k]), fontsize=5, color="red")
+                else:
+                    ax.axis("off")
+                ax.tick_params(labelsize=4)
+                if i == n - 1:
+                    ax.set_xlabel(cols[j], fontsize=5)
+                if j == 0 and i > 0:
+                    ax.set_ylabel(cols[i], fontsize=5)
+        fig.suptitle(title, fontsize=min(26, 6 + 2 * n))
+        if n <= 6:
+            fig.tight_layout()
+        else:
+            # tight_layout costs ~n^2; plain spacing is fine for big grids
+            fig.subplots_adjust(hspace=0.35, wspace=0.35, top=0.94)
+        fig.savefig(os.path.join(plot_dir, f"{base}__{label}.pdf"))
+        plt.close(fig)
+        if grid_outliers:
+            identified_outliers[label] = grid_outliers
+    return identified_outliers

@@ -35,7 +35,9 @@ def plot(config) -> None:
     _plot_acceptance(np.asarray(results["acceptance_fraction"]), plot_dir)
     _plot_log_posterior(log_prob, plot_dir)
     _plot_autocorrelation(chain, plot_dir)
-    _plot_pairplot(chain, names, plot_dir)
+    sampler_tau = results.get("autocorrelation_time")
+    _plot_autocorrelation_per_walker(chain, log_prob, names, plot_dir, sampler_tau=sampler_tau)
+    _plot_pairplot(chain, names, plot_dir, confidence=getattr(config, "confidence", None))
     _plot_traces(chain, names, plot_dir)
     try:
         _plot_posterior_observables(chain, config, plot_dir)
@@ -92,20 +94,84 @@ def _plot_autocorrelation(chain: np.ndarray, plot_dir: str) -> None:
     plt.close(fig)
 
 
-def _plot_pairplot(chain: np.ndarray, names: list[str], plot_dir: str, max_samples: int = 20000) -> None:
+def _plot_autocorrelation_per_walker(
+    chain: np.ndarray,
+    log_prob: np.ndarray,
+    names: list[str],
+    plot_dir: str,
+    sampler_tau=None,
+) -> None:
+    """Per-walker integrated autocorrelation time, mean +- std over walkers for
+    each parameter and the log posterior (reference plot_mcmc.py:151-233), plus
+    a comparison bar chart for the sampler's own walker-averaged estimate."""
+    tau_p, rel_p = stats.integrated_time_per_walker(chain)
+    for w in np.nonzero(~rel_p.all(axis=1))[0]:
+        logger.info(f"Autocorrelation time unreliable for walker {w} (chain < 50 tau)")
+    tau_lp, _ = stats.integrated_time_per_walker(log_prob[:, :, None])
+
+    mean_tau = np.concatenate([tau_p.mean(axis=0), tau_lp.mean(axis=0)])
+    std_tau = np.concatenate([tau_p.std(axis=0), tau_lp.std(axis=0)])
+    labels = list(names) + ["log_posterior"]
+
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.bar(labels, mean_tau, yerr=std_tau, color="steelblue")
+    ax.set_ylabel("Autocorrelation time")
+    ax.set_title("Autocorrelation time (mean, stdev over walkers)")
+    ax.tick_params(axis="x", labelsize=7)
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, "autocorrelation_time_per_walker.pdf"))
+    plt.close(fig)
+
+    if sampler_tau is not None and not (np.isscalar(sampler_tau) and sampler_tau is None):
+        sampler_tau = np.atleast_1d(np.asarray(sampler_tau, float))
+        if sampler_tau.shape[0] == len(names):
+            fig, ax = plt.subplots(figsize=(10, 6))
+            ax.bar(list(names), sampler_tau, color="darkorange")
+            ax.set_ylabel("Autocorrelation time")
+            ax.set_title("Sampler estimate (walker-averaged)")
+            ax.tick_params(axis="x", labelsize=7)
+            fig.tight_layout()
+            fig.savefig(os.path.join(plot_dir, "autocorrelation_time_sampler.pdf"))
+            plt.close(fig)
+
+
+def _plot_pairplot(
+    chain: np.ndarray,
+    names: list[str],
+    plot_dir: str,
+    max_samples: int = 20000,
+    confidence: float | None = None,
+    holdout_point: np.ndarray | None = None,
+    filename: str = "pairplot_posterior.pdf",
+) -> bool | None:
+    """Posterior pairplot. With ``confidence``, shades the HPD credible interval
+    on each diagonal; with ``holdout_point``, overlays the truth marker and
+    returns whether every truth component lies inside its HPDI (reference
+    plot_mcmc.py:236-290, the holdout closure check)."""
     flat = chain.reshape(-1, chain.shape[-1])
     if flat.shape[0] > max_samples:
         idx = np.random.default_rng(0).choice(flat.shape[0], max_samples, replace=False)
         flat = flat[idx]
     d = flat.shape[1]
+    theta_closure: bool | None = None if holdout_point is None else True
     fig, axes = plt.subplots(d, d, figsize=(2.2 * d, 2.2 * d))
     for i in range(d):
         for j in range(d):
             ax = axes[i][j]
             if i == j:
                 ax.hist(flat[:, i], bins=50, color="steelblue")
+                if confidence is not None:
+                    lo, hi = stats.credible_interval(flat[:, i], confidence, interval_type="hpd")
+                    ax.axvspan(lo, hi, color="k", alpha=0.1)
+                    if holdout_point is not None:
+                        truth = holdout_point[i]
+                        ax.axvline(truth, color="k", lw=1)
+                        if truth < lo or truth > hi:
+                            theta_closure = False
             elif i > j:
                 ax.hist2d(flat[:, j], flat[:, i], bins=40, cmap="Blues")
+                if holdout_point is not None:
+                    ax.scatter([holdout_point[j]], [holdout_point[i]], color="k", s=12, zorder=3)
             else:
                 ax.axis("off")
             if i == d - 1:
@@ -114,8 +180,9 @@ def _plot_pairplot(chain: np.ndarray, names: list[str], plot_dir: str, max_sampl
                 ax.set_ylabel(names[i], fontsize=7)
             ax.tick_params(labelsize=5)
     fig.tight_layout()
-    fig.savefig(os.path.join(plot_dir, "pairplot_posterior.pdf"))
+    fig.savefig(os.path.join(plot_dir, filename))
     plt.close(fig)
+    return theta_closure
 
 
 def _plot_traces(chain: np.ndarray, names: list[str], plot_dir: str) -> None:
@@ -147,7 +214,10 @@ def _plot_posterior_observables(chain: np.ndarray, config, plot_dir: str, n_samp
         config_file=config.config_file,
     )
     results = emulation_config.read_all_emulator_groups()
-    observables = hdf5.read_dict_from_h5(config.output_dir, "observables.h5", verbose=False)
+    # reference plot_mcmc.py:327-330 reads the configured observables file
+    observables = hdf5.read_dict_from_h5(
+        config.output_dir, config.observables_filename, verbose=False
+    )
     sorted_labels = obs_io.sorted_observable_list_from_dict(
         observables, observable_filter=emulation_config.observable_filter
     )
@@ -159,7 +229,8 @@ def _plot_posterior_observables(chain: np.ndarray, config, plot_dir: str, n_samp
                                           emulation_group_results=results)
 
     design_Y = obs_io.predictions_matrix_from_h5(
-        config.output_dir, "observables.h5", observable_filter=emulation_config.observable_filter
+        config.output_dir, config.observables_filename,
+        observable_filter=emulation_config.observable_filter,
     )
 
     observable_panels(

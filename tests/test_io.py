@@ -2,6 +2,7 @@
 (/root/reference/tests/test_data_IO.py) plus h5 round-trip and sort-order checks."""
 
 import numpy as np
+from pathlib import Path
 import pytest
 
 from bayesian_inference_tpu import io
@@ -107,3 +108,45 @@ def test_latex_from_tlatex():
     assert latex_from_tlatex("#theta_{g}") == r"$\theta_{g}$"
     out = latex_from_tlatex("p_{T} (GeV)")
     assert out.startswith("$") and out.endswith("$") and r"\;" in out
+
+
+def test_observable_panels_stat_titles_and_multishape(tmp_path):
+    """observable_panels honors multi-shape plot_panel_shapes (one figure per
+    shape, reference plot_utils.py:42-47, 131-137) and pulls axis titles from
+    STAT_<sqrts>.yaml via latex_from_tlatex (reference plot_utils.py:52-61)."""
+    import types
+
+    from bayesian_inference_tpu.io import hdf5, observables as obs_io
+    from bayesian_inference_tpu.plots.utils import (
+        _load_stat_plot_block,
+        latex_from_tlatex,
+        observable_panels,
+    )
+
+    data_dir = Path(__file__).parent / "test_data"
+    observables = hdf5.read_dict_from_h5(str(data_dir), "observables.h5", verbose=False)
+    sorted_labels = obs_io.sorted_observable_list_from_dict(observables)
+    n_features = sum(
+        len(np.atleast_1d(observables["Data"][lab]["xmin"])) for lab in sorted_labels
+    )
+    config = types.SimpleNamespace(
+        analysis_config={"plot_panel_shapes": [[2, 2], [2, 2], [2, 2], [2, 2]]},
+        observable_config_dir=str(data_dir),
+    )
+
+    # STAT axis-title block resolves for a fixture observable
+    block = _load_stat_plot_block(config, "200", "hadron", "pt_ch_star", {})
+    assert block is not None
+    assert latex_from_tlatex(block["xtitle"]) == r"$p_{T}\;(GeV/{c})$"
+    assert latex_from_tlatex(block["ytitle_AA"]) == r"${R}_{AA}$"
+
+    rng = np.random.default_rng(0)
+    preds = {"central_value": rng.uniform(0.5, 1.0, (10, n_features))}
+    observable_panels(
+        plot_list=[preds], labels=["pred"], colors=["steelblue"],
+        config=config, plot_dir=str(tmp_path), filename="panels.pdf",
+        observables=observables, sorted_labels=sorted_labels,
+    )
+    produced = sorted(p.name for p in tmp_path.glob("panels*.pdf"))
+    # 16 observables / 4 panels per 2x2 figure = 4 figures
+    assert produced == ["panels__0.pdf", "panels__1.pdf", "panels__2.pdf", "panels__3.pdf"]
