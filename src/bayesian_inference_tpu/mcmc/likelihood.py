@@ -89,6 +89,46 @@ class EmulatorLikelihood:
         ll = self.log_likelihood(theta_safe)
         return jnp.where(inside, ll, -jnp.inf)
 
+    def log_posterior_with_d0(self, d0: jax.Array, theta: jax.Array) -> jax.Array:
+        """log_posterior with the residual offset swapped for ``d0``.
+
+        The closure-test batch (one pseudodata vector per validation point)
+        differs ONLY in d0, so P independent closure MCMCs vmap over this
+        function inside one compiled sampler program (block mode only — the
+        lowrank Woodbury state bakes d0 into its precomputation).
+        """
+        if self.mode != "block":
+            raise ValueError("batched-d0 evaluation requires likelihood mode 'block'")
+        return self.replace(d0=d0).log_posterior(theta)
+
+
+def pad_residual_offsets(
+    emulation_config,
+    emulation_results: dict[str, dict[str, Any]],
+    y_batch: np.ndarray,
+) -> np.ndarray:
+    """Padded residual offsets d0 = m0 - y for a batch of data vectors.
+
+    ``y_batch`` is (P, n_features); returns (P, n_obs, n_b) laid out exactly
+    like EmulatorLikelihood.d0 (same numpy ops as build_likelihood, so a
+    batched closure run is bit-identical to P sequential builds).
+    """
+    slice_map = emulator_mod.GroupSliceMap.learn(emulation_config)
+    y_batch = np.atleast_2d(np.asarray(y_batch, float))
+    assert y_batch.shape[1] == slice_map.n_features
+
+    m0_group = {
+        name: np.asarray(emulation_results[name]["PCA"]["mean"])
+        for name in emulation_config.emulation_groups_config
+    }
+    n_b = max(e[2].stop - e[2].start for e in slice_map.entries)
+    P = y_batch.shape[0]
+    d0_pad = np.zeros((P, len(slice_map.entries), n_b))
+    for i, (_label, gname, g_slice, grp_slice) in enumerate(slice_map.entries):
+        w = g_slice.stop - g_slice.start
+        d0_pad[:, i, :w] = m0_group[gname][grp_slice][None, :] - y_batch[:, g_slice]
+    return d0_pad
+
 
 def build_likelihood(
     emulation_config,

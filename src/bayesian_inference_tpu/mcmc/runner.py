@@ -11,7 +11,7 @@ from __future__ import annotations
 import logging
 import pickle
 import os
-from typing import Any
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -80,9 +80,15 @@ def run_mcmc(
     emulation_results = emulation_config.read_all_emulator_groups()
     logger.info(f"emulator artifacts loaded: {_time.perf_counter() - _t:.2f}s")
 
+    # Honor observables_filename (jet_substructure.yaml:34) for the data vector
+    # and closure pseudodata. The reference hardcodes 'observables.h5' here
+    # (mcmc.py:67) even when the rest of the pipeline runs on the preprocessed
+    # file — we fix that wart so a preprocessed run is preprocessed end-to-end,
+    # falling back to the raw file when preprocessing was skipped.
+    obs_filename = _existing_observables_file(config)
     experimental_results = obs_io.data_array_from_h5(
         config.output_dir,
-        "observables.h5",
+        obs_filename,
         pseudodata_index=closure_index,
         observable_filter=emulation_config.observable_filter,
         rng=np.random.default_rng(seed + 12345) if closure_index >= 0 else None,
@@ -179,7 +185,7 @@ def run_mcmc(
 
     if closure_index >= 0:
         design_point = obs_io.design_array_from_h5(
-            config.output_dir, "observables.h5", validation_set=True
+            config.output_dir, obs_filename, validation_set=True
         )[closure_index]
         output_dict["design_point"] = design_point
         output_dict["experimental_pseudodata"] = experimental_results
@@ -199,6 +205,189 @@ def run_mcmc(
         pickle.dump(sampler_state, f)
 
     return output_dict
+
+
+def run_closure_batch(
+    config: MCMCConfig,
+    closure_indices: Sequence[int],
+    seed: int = 0,
+    dtype=None,
+    dispatch_chunk: int | None = None,
+) -> dict[int, dict[str, Any]]:
+    """Run ALL closure-test MCMCs in one batched on-chip program.
+
+    The reference runs one full MCMC per validation point sequentially
+    (steer_analysis.py:174-181). The only per-point difference in the
+    likelihood is the pseudodata residual offset d0 (data_IO.py:365-372), so
+    the P ensembles vmap over a d0 batch inside a single lax.scan — one
+    compiled program, one dispatch per phase, instead of P full runs.
+
+    Per-point sampling semantics (key derivation seed+index, pseudodata RNG,
+    two-phase burn-in with top-likelihood resampling) exactly mirror
+    ``run_mcmc(config_i, closure_index=i, seed=seed+i)``, and the per-point
+    ``closure/results/<i>/mcmc.h5`` artifacts are written unchanged.
+
+    Requires likelihood mode 'block' (lowrank bakes d0 into its Woodbury
+    precomputation); falls back is the caller's responsibility.
+    """
+    from bayesian_inference_tpu.mcmc.likelihood import pad_residual_offsets
+    from bayesian_inference_tpu.mcmc.stretch import init_state_batched, run_chunk_batched
+
+    import time as _time
+
+    closure_indices = list(closure_indices)
+    P = len(closure_indices)
+    assert P >= 1
+    param_spec = config.parameterization_spec()
+    theta_min = np.asarray(param_spec["min"], float)
+    theta_max = np.asarray(param_spec["max"], float)
+    ndim = len(param_spec["names"])
+    W = config.n_walkers
+
+    emulation_config = EmulationConfig.from_config_file(
+        analysis_name=config.analysis_name,
+        parameterization=config.parameterization,
+        analysis_config=config.analysis_config,
+        config_file=config.config_file,
+    )
+    emulation_results = emulation_config.read_all_emulator_groups()
+    obs_filename = _existing_observables_file(config)
+
+    exp_real = obs_io.data_array_from_h5(
+        config.output_dir, obs_filename,
+        observable_filter=emulation_config.observable_filter,
+    )
+    like = build_likelihood(
+        emulation_config, emulation_results, exp_real,
+        theta_min=theta_min, theta_max=theta_max, mode="block", dtype=dtype,
+    )
+    dt = like.theta_min.dtype
+
+    # Per-point pseudodata (validation prediction + N(0, sigma_exp)) with the
+    # same RNG stream the sequential runner uses for closure index i.
+    pseudodata = [
+        obs_io.data_array_from_h5(
+            config.output_dir, obs_filename, pseudodata_index=i,
+            observable_filter=emulation_config.observable_filter,
+            rng=np.random.default_rng(seed + i + 12345),
+        )
+        for i in closure_indices
+    ]
+    y_batch = np.stack([p["y"] for p in pseudodata])
+    d0_np = pad_residual_offsets(emulation_config, emulation_results, y_batch)
+    d0_batch = jax.device_put(np.asarray(d0_np, np.dtype(str(dt))))
+    fn = like.log_posterior_with_d0
+
+    # Key derivation mirrors run_mcmc per point: key(seed+i) -> split chain.
+    seeds = jnp.asarray([seed + i for i in closure_indices])
+    keys = jax.vmap(jax.random.key)(seeds)
+
+    def _vsplit(keys):
+        ks = jax.vmap(jax.random.split)(keys)
+        return ks[:, 0], ks[:, 1]
+
+    keys, k_init = _vsplit(keys)
+    x0 = jax.vmap(
+        lambda k: jax.random.uniform(
+            k, (W, ndim), minval=like.theta_min, maxval=like.theta_max, dtype=dt
+        )
+    )(k_init)
+
+    nburn0 = config.n_burn_steps // 2
+    nburn1 = config.n_burn_steps - nburn0
+
+    logger.info(
+        f"Batched closure MCMC: {P} validation points x {W} walkers, "
+        f"burn-in {nburn0}+{nburn1}, production {config.n_sampling_steps}"
+    )
+
+    # --- burn-in phase 1 (one batched program) --------------------------------
+    _t = _time.perf_counter()
+    keys, k1 = _vsplit(keys)
+    states = init_state_batched(k1, fn, x0, d0_batch)
+    states, ys1 = run_chunk_batched(states, fn, d0_batch, nburn0)
+    chain1 = np.asarray(ys1[0])   # (nburn0, P, W, d)
+    logp1 = np.asarray(ys1[1])
+    logger.info(f"closure burn-1 ({P}x{nburn0}): {_time.perf_counter() - _t:.2f}s")
+
+    # --- per-point top-likelihood resampling (host, reference parity) ---------
+    x_top = np.stack([
+        resample_walkers_to_top_positions(chain1[:, p], logp1[:, p], W)
+        for p in range(P)
+    ])
+
+    _t = _time.perf_counter()
+    keys, k2 = _vsplit(keys)
+    states = init_state_batched(k2, fn, jnp.asarray(x_top, dt), d0_batch)
+    states, _ = run_chunk_batched(states, fn, d0_batch, nburn1, store_chain=False)
+    jax.block_until_ready(states.coords)
+    logger.info(f"closure burn-2 ({P}x{nburn1}): {_time.perf_counter() - _t:.2f}s")
+
+    # --- production: chunked dispatch, downloads overlap execution ------------
+    _t = _time.perf_counter()
+    keys, k3 = _vsplit(keys)
+    states = init_state_batched(k3, fn, states.coords, d0_batch)
+    n_total = config.n_sampling_steps
+    if dispatch_chunk is None:
+        dispatch_chunk = _production_chunk(config, None)
+    sizes = (
+        [dispatch_chunk] * (n_total // dispatch_chunk)
+        + ([n_total % dispatch_chunk] if n_total % dispatch_chunk else [])
+        if dispatch_chunk else [n_total]
+    )
+    pending = []
+    for n in sizes:
+        states, ys = run_chunk_batched(states, fn, d0_batch, n)
+        pending.append(ys)
+    chain = np.concatenate([np.asarray(ys[0]) for ys in pending], axis=0)
+    log_prob = np.concatenate([np.asarray(ys[1]) for ys in pending], axis=0)
+    acceptance = np.asarray(states.n_accepted, np.int64).astype(float) / n_total
+    logger.info(
+        f"closure production ({P}x{n_total}): {_time.perf_counter() - _t:.2f}s "
+        f"({P * n_total / max(_time.perf_counter() - _t, 1e-9):.0f} point-steps/s), "
+        f"mean acceptance {acceptance.mean():.3f}"
+    )
+
+    # --- per-point artifacts (format identical to the sequential runner) ------
+    design_val = obs_io.design_array_from_h5(
+        config.output_dir, obs_filename, validation_set=True
+    )
+    outputs: dict[int, dict[str, Any]] = {}
+    for p, i in enumerate(closure_indices):
+        out_p: dict[str, Any] = {
+            "chain": chain[:, p],
+            "acceptance_fraction": acceptance[p],
+            "log_prob": log_prob[:, p],
+            "design_point": design_val[i],
+            "experimental_pseudodata": pseudodata[p],
+        }
+        try:
+            out_p["autocorrelation_time"] = stats.integrated_time(chain[:, p])
+        except stats.AutocorrError as e:
+            out_p["autocorrelation_time"] = None
+            logger.info(f"closure point {i}: no autocorrelation time: {e}")
+        cfg_i = MCMCConfig(
+            analysis_name=config.analysis_name,
+            parameterization=config.parameterization,
+            analysis_config=config.analysis_config,
+            config_file=config.config_file,
+            closure_index=i,
+        )
+        hdf5.write_dict_to_h5(out_p, cfg_i.mcmc_output_dir, "mcmc.h5", verbose=False)
+        outputs[i] = out_p
+    return outputs
+
+
+def _existing_observables_file(config) -> str:
+    """The configured observables file, or 'observables.h5' if the configured
+    (e.g. preprocessed) file was never produced."""
+    name = getattr(config, "observables_filename", "observables.h5")
+    if name != "observables.h5" and not os.path.exists(
+        os.path.join(config.output_dir, name)
+    ):
+        logger.warning(f"{name} not found in {config.output_dir}; using observables.h5")
+        return "observables.h5"
+    return name
 
 
 def _checkpoint_path(config: MCMCConfig) -> str:

@@ -135,6 +135,63 @@ def run_chunk(
     return final, ys
 
 
+# --------------------------------------------------------------------------------------
+# Batched ensembles: P independent samplers advanced in ONE compiled program.
+#
+# Used by the closure-test stage: the only per-point difference is an auxiliary
+# likelihood operand (the pseudodata residual offset), so all validation-point
+# MCMCs vmap into a single scan — the headline TPU win over the reference's
+# sequential closure loop (steer_analysis.py:174-181).
+# --------------------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("log_prob_fn",))
+def init_state_batched(keys: jax.Array, log_prob_fn, x0: jax.Array, aux) -> EnsembleState:
+    """Vmapped init: keys (P,), x0 (P, W, d), aux pytree with leading P axis.
+
+    ``log_prob_fn(aux_p, x)`` maps one point's auxiliary operand and a (W, d)
+    walker batch to (W,) log-posteriors.
+    """
+    def one(key, x, a):
+        return init_state(key, lambda xx: log_prob_fn(a, xx), x)
+
+    return jax.vmap(one)(keys, x0, aux)
+
+
+@partial(jax.jit, static_argnames=("log_prob_fn", "n_steps", "a", "randomize_split", "store_chain", "thin"))
+def run_chunk_batched(
+    states: EnsembleState,
+    log_prob_fn,
+    aux,
+    n_steps: int,
+    a: float = 2.0,
+    randomize_split: bool = True,
+    store_chain: bool = True,
+    thin: int = 1,
+):
+    """Advance P independent ensembles by n_steps in one compiled lax.scan.
+
+    ``states`` is an EnsembleState pytree with a leading P axis on every leaf;
+    ``aux`` is the per-point likelihood operand (leading P axis). The chain
+    output has shape (n_steps//thin, P, W, d).
+    """
+
+    def step_point(s, aux_p):
+        new = s
+        for _ in range(thin):
+            new = step(new, lambda x: log_prob_fn(aux_p, x), a=a, randomize_split=randomize_split)
+        return new
+
+    vstep = jax.vmap(step_point)
+
+    def body(s, _):
+        new = vstep(s, aux)
+        out = (new.coords, new.log_prob) if store_chain else None
+        return new, out
+
+    final, ys = jax.lax.scan(body, states, None, length=n_steps // thin)
+    return final, ys
+
+
 def run_ensemble(
     key: jax.Array,
     log_prob_fn: Callable[[jax.Array], jax.Array],

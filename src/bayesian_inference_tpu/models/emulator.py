@@ -305,7 +305,15 @@ class GroupSliceMap:
 
     @classmethod
     def learn(cls, emulation_config: EmulationConfig) -> "GroupSliceMap":
-        all_obs = hdf5.read_dict_from_h5(emulation_config.output_dir, "observables.h5", verbose=False)
+        # The slice map is learned from the configured observables file so a
+        # preprocessed run is consistent end-to-end. (The reference hardcodes
+        # 'observables.h5' here, emulation.py:304 — harmless there because
+        # preprocessing never changes binning, but we honor the config.)
+        all_obs = hdf5.read_dict_from_h5(
+            emulation_config.output_dir,
+            emulation_config.observables_filename,
+            verbose=False,
+        )
         pred = all_obs["Prediction"]
 
         global_slices: dict[str, slice] = {}

@@ -122,17 +122,31 @@ class SteerAnalysis:
         if self.run_closure_tests:
             n_points = analysis_config["validation_indices"][1] - analysis_config["validation_indices"][0]
             with stage_timer(f"closure[{analysis_name}/{parameterization}] x{n_points}", logger):
-                from bayesian_inference_tpu.mcmc.runner import run_mcmc
+                mcmc_config = MCMCConfig(
+                    analysis_name=analysis_name,
+                    parameterization=parameterization,
+                    analysis_config=analysis_config,
+                    config_file=self.config_file,
+                )
+                if mcmc_config.likelihood_mode == "block":
+                    # All validation-point MCMCs vmapped into one on-chip
+                    # program (the reference loops full runs sequentially,
+                    # steer_analysis.py:174-181).
+                    from bayesian_inference_tpu.mcmc.runner import run_closure_batch
 
-                for i in range(n_points):
-                    mcmc_config = MCMCConfig(
-                        analysis_name=analysis_name,
-                        parameterization=parameterization,
-                        analysis_config=analysis_config,
-                        config_file=self.config_file,
-                        closure_index=i,
-                    )
-                    run_mcmc(mcmc_config, closure_index=i)
+                    run_closure_batch(mcmc_config, range(n_points))
+                else:
+                    from bayesian_inference_tpu.mcmc.runner import run_mcmc
+
+                    for i in range(n_points):
+                        cfg_i = MCMCConfig(
+                            analysis_name=analysis_name,
+                            parameterization=parameterization,
+                            analysis_config=analysis_config,
+                            config_file=self.config_file,
+                            closure_index=i,
+                        )
+                        run_mcmc(cfg_i, closure_index=i, seed=i)
 
     # ------------------------------------------------------------------
     def _run_plots(self) -> None:

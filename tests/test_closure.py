@@ -50,6 +50,7 @@ def test_pseudodata_smearing(closure_setup):
     assert np.abs(resid).mean() < 2
 
 
+@pytest.mark.slow
 def test_closure_mcmc_and_plots(closure_setup):
     config_path, analysis_name, param, analysis_config = closure_setup
     for idx in (0, 1):
@@ -76,3 +77,76 @@ def test_closure_mcmc_and_plots(closure_setup):
     assert (plot_dir / "closure_summary.pdf").exists()
     assert (plot_dir / "closure_summary_ET.pdf").exists()
     assert (plot_dir / "closure_summary_parameters.pdf").exists()
+    # HPDI + holdout-truth pairplot per closure point (reference plot_mcmc.py:236-290)
+    assert (plot_dir / "point_0" / "pairplot_holdout.pdf").exists()
+    assert (plot_dir / "point_1" / "pairplot_holdout.pdf").exists()
+
+
+def test_pairplot_holdout_containment_logic(tmp_path):
+    """The pairplot returns the theta-space closure verdict: True when the
+    truth lies in every marginal HPDI, False when any component is outside."""
+    from bayesian_inference_tpu.plots.mcmc import _plot_pairplot
+
+    rng = np.random.default_rng(0)
+    chain = rng.normal(0.0, 1.0, (400, 8, 3))  # (steps, walkers, ndim)
+    names = ["a", "b", "c"]
+    inside = _plot_pairplot(
+        chain, names, str(tmp_path), confidence=0.9,
+        holdout_point=np.zeros(3), filename="in.pdf",
+    )
+    outside = _plot_pairplot(
+        chain, names, str(tmp_path), confidence=0.9,
+        holdout_point=np.array([0.0, 0.0, 9.0]), filename="out.pdf",
+    )
+    assert inside is True
+    assert outside is False
+    assert (tmp_path / "in.pdf").exists() and (tmp_path / "out.pdf").exists()
+
+
+def test_batched_closure_matches_sequential(closure_setup, tmp_path):
+    """run_closure_batch (all validation points vmapped into one program)
+    reproduces the sequential per-point runner exactly: same pseudodata, same
+    key derivation, same chains and artifacts."""
+    import shutil
+
+    from bayesian_inference_tpu.mcmc.runner import run_closure_batch
+
+    config_path, analysis_name, param, analysis_config = closure_setup
+    indices = [0, 2]
+
+    seq = {}
+    for i in indices:
+        cfg = MCMCConfig(
+            analysis_name=analysis_name, parameterization=param,
+            analysis_config=analysis_config, config_file=str(config_path),
+            closure_index=i,
+        )
+        seq[i] = run_mcmc(cfg, closure_index=i, seed=i)
+        shutil.rmtree(cfg.mcmc_output_dir)
+
+    base_cfg = MCMCConfig(
+        analysis_name=analysis_name, parameterization=param,
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+    batched = run_closure_batch(base_cfg, indices, seed=0)
+
+    for i in indices:
+        assert batched[i]["chain"].shape == seq[i]["chain"].shape
+        np.testing.assert_allclose(
+            batched[i]["experimental_pseudodata"]["y"],
+            seq[i]["experimental_pseudodata"]["y"],
+        )
+        np.testing.assert_allclose(batched[i]["chain"], seq[i]["chain"])
+        np.testing.assert_allclose(batched[i]["log_prob"], seq[i]["log_prob"])
+        np.testing.assert_allclose(
+            batched[i]["acceptance_fraction"], seq[i]["acceptance_fraction"]
+        )
+        # artifact on disk in the sequential location/format
+        cfg_i = MCMCConfig(
+            analysis_name=analysis_name, parameterization=param,
+            analysis_config=analysis_config, config_file=str(config_path),
+            closure_index=i,
+        )
+        stored = io.read_dict_from_h5(cfg_i.mcmc_output_dir, "mcmc.h5", verbose=False)
+        np.testing.assert_allclose(stored["chain"], batched[i]["chain"])
+        assert stored["design_point"].shape == (6,)

@@ -229,6 +229,7 @@ def test_logp_chain_self_consistency_under_jit():
     assert err < 1e-12, err
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(likelihood_setup, tmp_path):
     """Interrupted production resumes from the snapshot and completes the chain."""
     import pickle
@@ -266,3 +267,68 @@ def test_checkpoint_resume(likelihood_setup, tmp_path):
     out_resumed = run_mcmc(cfg, seed=5, checkpoint_every=16)
     assert out_resumed["chain"].shape[0] == cfg.n_sampling_steps
     np.testing.assert_allclose(out_resumed["chain"][:16], out_full["chain"][:16])
+
+
+def test_observables_filename_honored_end_to_end(tmp_path):
+    """With observables_filename: observables_preprocessed.h5, the MCMC data
+    vector, closure pseudodata source, and group slice map all read the
+    preprocessed file (reference data flow: steer_analysis.py:129-131,
+    jet_substructure.yaml:34; we additionally fix the reference's hardcoded
+    'observables.h5' in its mcmc.py:67)."""
+    from bayesian_inference_tpu.io import hdf5
+    from bayesian_inference_tpu.mcmc.runner import _existing_observables_file
+    from bayesian_inference_tpu.pipeline.configs import MCMCConfig, load_yaml
+
+    config_path, name, param = make_analysis_yaml(
+        tmp_path, observables_filename="observables_preprocessed.h5"
+    )
+    analysis_config = load_yaml(config_path)["analyses"][name]
+    cfg = MCMCConfig(
+        analysis_name=name, parameterization=param,
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+
+    # configured file absent -> fall back to the raw ingest output
+    assert _existing_observables_file(cfg) == "observables.h5"
+
+    # stage a preprocessed copy with visibly different experimental values
+    obs = hdf5.read_dict_from_h5(cfg.output_dir, "observables.h5", verbose=False)
+    for label in obs["Data"]:
+        obs["Data"][label]["y"] = np.asarray(obs["Data"][label]["y"]) * 1.5
+    hdf5.write_dict_to_h5(obs, cfg.output_dir, "observables_preprocessed.h5", verbose=False)
+
+    assert _existing_observables_file(cfg) == "observables_preprocessed.h5"
+    d_raw = io.data_array_from_h5(cfg.output_dir, "observables.h5")
+    d_pre = io.data_array_from_h5(cfg.output_dir, _existing_observables_file(cfg))
+    np.testing.assert_allclose(d_pre["y"], d_raw["y"] * 1.5)
+
+    # the slice map reads the configured file too (emulator.py GroupSliceMap)
+    from bayesian_inference_tpu.models.emulator import GroupSliceMap
+    from bayesian_inference_tpu.pipeline.configs import EmulationConfig
+
+    emu_config = EmulationConfig.from_config_file(
+        analysis_name=name, parameterization=param,
+        config_file=str(config_path), analysis_config=analysis_config,
+    )
+    smap = GroupSliceMap.learn(emu_config)
+    assert smap.n_features == d_pre["y"].shape[0]
+
+
+def test_integrated_time_per_walker_matches_single_walker():
+    """Per-walker tau on a 1-walker chain equals the walker-averaged estimate
+    (same FFT + Sokal windowing path; reference loops emcee per walker,
+    plot_mcmc.py:179-204)."""
+    rng = np.random.default_rng(2)
+    # AR(1) series with known autocorrelation
+    n, rho = 4000, 0.9
+    eps = rng.normal(size=(n, 1, 2))
+    x = np.zeros((n, 1, 2))
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + eps[t]
+    tau_avg = stats.integrated_time(x, quiet=True)
+    tau_pw, reliable = stats.integrated_time_per_walker(x)
+    assert tau_pw.shape == (1, 2)
+    np.testing.assert_allclose(tau_pw[0], tau_avg, rtol=1e-10)
+    # theoretical tau for AR(1): (1+rho)/(1-rho) = 19
+    assert 10 < tau_pw[0, 0] < 30
+    assert reliable.all()

@@ -2,6 +2,7 @@
 and walker-sharded MCMC must produce the same results as single-device runs."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -61,6 +62,7 @@ def test_shard_leading_axis_none_mesh_is_noop():
     assert shard_leading_axis(x, None) is x
 
 
+@pytest.mark.slow
 def test_run_mcmc_with_mesh(tmp_path):
     """Full runner with the walker batch sharded over the 8-device mesh."""
     import yaml

@@ -129,3 +129,45 @@ def test_centrality_and_sqrts_filters(tmp_path):
     cfg = {**base, "sqrts_list": [5020], "centrality_range": [0, 4]}
     obs = tables.initialize_observables_dict_from_tables(str(table_dir), cfg, "exponential")
     assert not obs["Data"]
+
+
+def test_input_data_pairplot_correlations(tmp_path):
+    """Per-bin pair-correlation grids with OLS + RMS outlier identification
+    across all three grouping modes (reference plot_input_data.py:53-147,
+    323-478)."""
+    from bayesian_inference_tpu.pipeline.configs import EmulationConfig, load_yaml
+    from bayesian_inference_tpu.plots.input_data import (
+        ObservableGrouping,
+        plot_pairplot_correlations,
+    )
+
+    groups = {"g": {"n_pc": 2, "observable_list": ["pt_ch_alice"]}}
+    config_path, name, param = make_analysis_yaml(tmp_path, groups=groups)
+    ac = load_yaml(config_path)["analyses"][name]
+    cfg = EmulationConfig.from_config_file(
+        analysis_name=name, parameterization=param,
+        config_file=str(config_path), analysis_config=ac,
+    )
+
+    out = plot_pairplot_correlations(
+        cfg, str(tmp_path), ObservableGrouping(observable_by_observable=True),
+        outliers_n_rms=2.0,
+    )
+    pdfs = list(Path(tmp_path).glob("*observable_by_observable__outliers*.pdf"))
+    assert len(pdfs) >= 4  # 4 pt_ch_alice observables (7 bins each)
+    assert out  # at 2 RMS some design points are flagged
+    for pts in out.values():
+        assert all(isinstance(p, int) for p in pts)
+
+    # emulator-group mode: one (chunked) grid per group
+    plot_pairplot_correlations(
+        cfg, str(tmp_path), ObservableGrouping(emulator_groups=True),
+    )
+    assert list(Path(tmp_path).glob("*emulator_groups__g*.pdf"))
+
+    # fixed-size mode with annotation
+    plot_pairplot_correlations(
+        cfg, str(tmp_path), ObservableGrouping(fixed_size=5),
+        annotate_design_points=True,
+    )
+    assert list(Path(tmp_path).glob("*observable_group_by_5__annotated__chunk_0.pdf"))
