@@ -119,6 +119,7 @@ def _make_config(workdir: Path) -> tuple[Path, str, str, dict]:
 
 def main() -> None:
     from bayesian_inference_tpu.models import emulator
+    from bayesian_inference_tpu.mcmc.programs import prewarm_sampler_programs
     from bayesian_inference_tpu.mcmc.runner import run_mcmc
     from bayesian_inference_tpu.pipeline.configs import EmulationConfig, MCMCConfig
 
@@ -137,21 +138,29 @@ def main() -> None:
         config_file=str(config_path),
         analysis_config=analysis_config,
     )
-
-    t0 = time.perf_counter()
-    emulator.fit_emulators(emu_config, n_opt_iters=N_OPT_ITERS)
-    jax.effects_barrier()
-    t_fit = time.perf_counter() - t0
-    print(f"# GP fit ({sum(g['n_pc'] for g in GROUPS.values())} PCs x {N_RESTARTS + 1} restarts): {t_fit:.2f}s", file=sys.stderr)
-
     mcmc_config = MCMCConfig(
         analysis_name=analysis_name,
         parameterization=parameterization,
         analysis_config=analysis_config,
         config_file=str(config_path),
     )
+
+    t0 = time.perf_counter()
+    # NOTE: do NOT prewarm the sampler programs on a thread concurrent with
+    # the fit — concurrent compile+execute through the tunneled TPU runtime
+    # crashed the worker (measured 2026-08-16) and slowed the fit ~2x even
+    # when it survived. run_mcmc compiles inline (~5 s warm: the operand-style
+    # programs are value-independent, so the persistent cache always hits).
+    programs = None
+    if os.environ.get("BENCH_PREWARM", "0") == "1":
+        programs = prewarm_sampler_programs(mcmc_config)
+    emulator.fit_emulators(emu_config, n_opt_iters=N_OPT_ITERS)
+    jax.effects_barrier()
+    t_fit = time.perf_counter() - t0
+    print(f"# GP fit ({sum(g['n_pc'] for g in GROUPS.values())} PCs x {N_RESTARTS + 1} restarts): {t_fit:.2f}s", file=sys.stderr)
+
     t1 = time.perf_counter()
-    out = run_mcmc(mcmc_config, seed=0)
+    out = run_mcmc(mcmc_config, seed=0, programs=programs)
     t_mcmc = time.perf_counter() - t1
 
     af = float(np.mean(out["acceptance_fraction"]))

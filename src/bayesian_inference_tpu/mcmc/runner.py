@@ -48,6 +48,7 @@ def run_mcmc(
     dtype=None,
     checkpoint_every: int | None = None,
     mesh=None,
+    programs=None,
 ) -> dict[str, Any]:
     """Run the full MCMC for one analysis; writes mcmc.h5 + sampler state pickle.
 
@@ -60,6 +61,11 @@ def run_mcmc(
 
     ``mesh``: a jax.sharding.Mesh to shard the per-walker likelihood batch
     across chips (parallel/mesh.py); None runs single-device.
+
+    ``programs``: a prewarmed ``SamplerPrograms`` (mcmc/programs.py,
+    typically from ``prewarm_sampler_programs`` started before the GP fit).
+    None compiles the operand-style executables inline; a failed prewarm
+    falls back to the closure-style jit path.
     """
     if mode is None:
         mode = getattr(config, "likelihood_mode", "block")
@@ -105,14 +111,37 @@ def run_mcmc(
         dtype=dtype,
     )
     logger.info(f"likelihood build: {_time.perf_counter() - _t:.2f}s")
+    dt = like.theta_min.dtype
+    np_dt = np.dtype(str(dt))
+
     if mesh is not None:
         from bayesian_inference_tpu.parallel.mesh import make_sharded_log_prob
 
         log_prob_fn = make_sharded_log_prob(like.log_posterior, mesh)
         logger.info(f"walker batch sharded over {mesh.devices.size} devices")
+        programs = None
     else:
         log_prob_fn = like.log_posterior
-    dt = like.theta_min.dtype
+        # Operand-style AOT executables: value-independent programs (stable
+        # persistent-cache keys across runs) — see mcmc/programs.py. A
+        # prewarmed handle overlaps all compile/load with the GP fit.
+        from bayesian_inference_tpu.mcmc.programs import (
+            SamplerPrograms, chunk_sizes_for_config,
+        )
+
+        if programs is not None and (
+            programs.n_walkers != config.n_walkers or programs.ndim != ndim
+        ):
+            logger.warning("prewarmed sampler programs have mismatched shapes; recompiling")
+            programs = None
+        if programs is None and mode == "block":
+            programs = SamplerPrograms(
+                like, config.n_walkers, ndim,
+                chunk_sizes_for_config(config, checkpoint_every),
+            )
+            programs.compile()
+        if programs is not None and not programs.ok():
+            programs = None  # jit-closure fallback
 
     key = jax.random.key(seed)
     key, k_init = jax.random.split(key)
@@ -122,14 +151,20 @@ def run_mcmc(
 
     nburn0 = config.n_burn_steps // 2
     nburn1 = config.n_burn_steps - nburn0
-    chunk = None
 
+    def _run_phase(k, x_start, n_steps):
+        """init + one chunk: (chain, log_prob, final coords) on device."""
+        if programs is not None:
+            state = programs.init(k, like, x_start)
+            state, ys = programs.chunk(state, like, n_steps)
+            return {"chain": ys[0], "log_prob": ys[1], "coords": state.coords}
+        return run_ensemble(k, log_prob_fn, x_start, n_steps)
 
     # --- burn-in phase 1 -------------------------------------------------------
     logger.info(f"Burn-in phase 1: {config.n_walkers} walkers x {nburn0} steps")
     _t = _time.perf_counter()
     key, k1 = jax.random.split(key)
-    out1 = run_ensemble(k1, log_prob_fn, x0, nburn0, chunk_size=chunk)
+    out1 = _run_phase(k1, x0, nburn0)
     jax.block_until_ready(out1["coords"])
     logger.info(f"burn-1 dispatch+exec: {_time.perf_counter() - _t:.2f}s")
 
@@ -141,17 +176,16 @@ def run_mcmc(
 
     _t = _time.perf_counter()
     key, k2 = jax.random.split(key)
-    out2 = run_ensemble(k2, log_prob_fn, jnp.asarray(x_top, dt), nburn1, chunk_size=chunk)
+    out2 = _run_phase(k2, jax.device_put(np.asarray(x_top, np_dt)), nburn1)
     jax.block_until_ready(out2["coords"])
     logger.info(f"burn-2 dispatch+exec: {_time.perf_counter() - _t:.2f}s")
 
     # --- production -------------------------------------------------------------
-    # Dispatch strategy: the run is split into chunks of one shared compiled
-    # scan program; every chunk's (chain, log_prob) slab downloads WHILE later
-    # chunks execute on device (jax async dispatch), hiding the chain transfer
-    # behind compute, and chunk boundaries provide the reference's
-    # n_logging_steps acceptance cadence (mcmc.py:187-204) plus resumable
-    # checkpoints. A single dispatch is used when no cadence is configured.
+    # Single-dispatch scan by default; the per-step acceptance trace in the
+    # scan output provides the reference's n_logging_steps cadence
+    # (mcmc.py:187-204) without chunking. checkpoint_every (or
+    # BIQ_DISPATCH_CHUNK) switches to chunked dispatch with streamed
+    # downloads + resumable snapshots.
     logger.info(f"Production: {config.n_sampling_steps} steps")
     _t = _time.perf_counter()
     key, k3 = jax.random.split(key)
@@ -159,6 +193,8 @@ def run_mcmc(
         config, k3, log_prob_fn, out2["coords"],
         checkpoint_every=checkpoint_every,
         dispatch_chunk=_production_chunk(config, checkpoint_every),
+        programs=programs,
+        like=like,
     )
     logger.info(f"production exec+download: {_time.perf_counter() - _t:.2f}s")
 
@@ -330,6 +366,13 @@ def run_closure_batch(
     n_total = config.n_sampling_steps
     if dispatch_chunk is None:
         dispatch_chunk = _production_chunk(config, None)
+        if dispatch_chunk is None:
+            # Bound each downloaded (chain, logp) slab to ~256 MB: the P-way
+            # batch multiplies the per-step payload, so a single-dispatch
+            # download would be P x larger than a plain run's.
+            per_step_bytes = P * W * (ndim + 1) * 4
+            chunk = (256 << 20) // max(per_step_bytes, 1)
+            dispatch_chunk = chunk if 0 < chunk < n_total else None
     sizes = (
         [dispatch_chunk] * (n_total // dispatch_chunk)
         + ([n_total % dispatch_chunk] if n_total % dispatch_chunk else [])
@@ -395,14 +438,20 @@ def _checkpoint_path(config: MCMCConfig) -> str:
 
 
 def _production_chunk(config: MCMCConfig, checkpoint_every: int | None) -> int | None:
-    """Production dispatch-chunk size: the checkpoint cadence when set, else
-    the config's ``n_logging_steps`` (reference acceptance-logging cadence,
-    mcmc.py:187-204). None = single dispatch. ``BIQ_DISPATCH_CHUNK`` overrides
-    for tuning (0 forces single dispatch)."""
-    cadence = checkpoint_every or getattr(config, "n_logging_steps", 0) or 0
+    """Production dispatch-chunk size: the checkpoint cadence when set, else a
+    single dispatch (None) — the acceptance-logging cadence no longer needs
+    chunking since the scan outputs a per-step acceptance trace.
+    ``BIQ_DISPATCH_CHUNK`` overrides for tuning (0 forces single dispatch)."""
+    n = config.n_sampling_steps
+    cadence = checkpoint_every or 0
     cadence = int(os.environ.get("BIQ_DISPATCH_CHUNK", cadence) or 0)
-    if 0 < cadence < config.n_sampling_steps:
+    if 0 < cadence < n:
         return cadence
+    # Quarter dispatches of ONE shared scan program: earlier chunks' chain
+    # slabs download while later chunks execute, hiding most of the transfer
+    # (which has high variance through the tunneled runtime).
+    if cadence == 0 and "BIQ_DISPATCH_CHUNK" not in os.environ and n >= 20000 and n % 4 == 0:
+        return n // 4
     return None
 
 
@@ -421,6 +470,28 @@ def _read_checkpoint_records(path: str, n_total: int) -> list[dict[str, Any]]:
     return records
 
 
+def _log_acceptance_cadence(
+    config: MCMCConfig, acc_trace: np.ndarray, offset: int = 0, prior_sum: float = 0.0
+) -> None:
+    """Emit the reference's per-n_logging_steps cumulative mean-acceptance lines
+    (mcmc.py:194-204) from a downloaded per-step acceptance trace.
+
+    ``offset``/``prior_sum``: steps already logged before this trace and the
+    sum of their per-step mean acceptances (chunked-dispatch bookkeeping).
+    """
+    cadence = getattr(config, "n_logging_steps", 0) or 0
+    n_total = config.n_sampling_steps
+    if not cadence or acc_trace.size == 0:
+        return
+    cum = prior_sum + np.cumsum(acc_trace, dtype=np.float64)
+    first = offset + ((cadence - offset) % cadence or cadence)
+    for step in range(first, offset + acc_trace.size + 1, cadence):
+        i = step - offset
+        logger.info(
+            f"MCMC step {step}/{n_total}: mean acceptance fraction: {cum[i - 1] / step:.3f}"
+        )
+
+
 def _run_production(
     config: MCMCConfig,
     key,
@@ -428,23 +499,50 @@ def _run_production(
     x0,
     checkpoint_every: int | None,
     dispatch_chunk: int | None,
+    programs=None,
+    like=None,
 ) -> dict[str, Any]:
-    """Production run with streamed chunk downloads.
+    """Production run: single-dispatch scan by default, chunked with streamed
+    downloads when ``dispatch_chunk`` is set.
 
-    All chunks are dispatched back-to-back (jax async dispatch keeps the device
+    Chunks are dispatched back-to-back (jax async dispatch keeps the device
     pipeline full); each chunk's chain slab is then downloaded in completion
-    order, so host transfer overlaps device execution. Per-chunk snapshots give
-    the reference's acceptance-logging cadence and — when ``checkpoint_every``
-    is set — append-only resumable checkpoints (O(total) bytes over a run; the
-    reference lists step-granular resume as an open TODO, mcmc.py:69-70).
+    order, so host transfer overlaps device execution. When
+    ``checkpoint_every`` is set, per-chunk snapshots form append-only resumable
+    checkpoints (step-granular resume the reference lists as an open TODO,
+    mcmc.py:69-70). The acceptance-logging cadence comes from the scan's
+    per-step acceptance trace in both paths.
     """
     from bayesian_inference_tpu.mcmc.stretch import init_state, run_chunk
 
+    def _init(k, x):
+        if programs is not None:
+            return programs.init(k, like, x)
+        return init_state(k, log_prob_fn, x)
+
+    def _chunk(state, n):
+        if programs is not None:
+            return programs.chunk(state, like, n)
+        return run_chunk(state, log_prob_fn, n)
+
     n_total = config.n_sampling_steps
     if not dispatch_chunk:
-        out = run_ensemble(key, log_prob_fn, x0, n_total)
-        return {**out, "chain": np.asarray(out["chain"]), "log_prob": np.asarray(out["log_prob"]),
-                "acceptance_fraction": np.asarray(out["acceptance_fraction"])}
+        state = _init(key, x0)
+        state, ys = _chunk(state, n_total)
+        # Device is executing the (async-dispatched) scan: use the idle host
+        # to precompute the autocorrelation FFT plans for free.
+        stats.warm_fft_plans(n_total)
+        chain = np.asarray(ys[0])
+        log_prob = np.asarray(ys[1])
+        _log_acceptance_cadence(config, np.asarray(ys[2]))
+        return {
+            "coords": state.coords,
+            "final_log_prob": state.log_prob,
+            "acceptance_fraction": np.asarray(state.n_accepted).astype(float) / n_total,
+            "chain": chain,
+            "log_prob": log_prob,
+            "key": state.key,
+        }
 
     path = _checkpoint_path(config)
     chains: list[np.ndarray] = []
@@ -477,28 +575,27 @@ def _run_production(
             pickle.dump({"version": 2, "n_total": n_total}, ckpt_file)
 
     # Dispatch every chunk up front; snapshot per-chunk state (device handles).
-    state = init_state(key, log_prob_fn, x0)
+    state = _init(key, x0)
     pending = []
     remaining = n_total - steps_done
     sizes = [dispatch_chunk] * (remaining // dispatch_chunk)
     if remaining % dispatch_chunk:
         sizes.append(remaining % dispatch_chunk)
     for n in sizes:
-        state, ys = run_chunk(state, log_prob_fn, n)
+        state, ys = _chunk(state, n)
         pending.append((n, ys, state))
+    stats.warm_fft_plans(n_total)  # host idle while the device executes
 
     # Download in order: np.asarray blocks on chunk k while k+1.. execute.
-    log_cadence = getattr(config, "n_logging_steps", 0) or 0
+    trace_sum = float(acc_offset.mean())  # sum of per-step mean acceptance so far
     for n, ys, snap in pending:
         chains.append(np.asarray(ys[0]))
         logps.append(np.asarray(ys[1]))
+        tr = np.asarray(ys[2])
+        _log_acceptance_cadence(config, tr, offset=steps_done, prior_sum=trace_sum)
+        trace_sum += float(tr.sum(dtype=np.float64))
         steps_done += n
         acc_cum = acc_offset + np.asarray(snap.n_accepted, np.int64)
-        if log_cadence and (steps_done % log_cadence == 0 or steps_done == n_total):
-            logger.info(
-                f"MCMC step {steps_done}/{n_total}: mean acceptance fraction: "
-                f"{acc_cum.mean() / steps_done:.3f}"
-            )
         if ckpt_file is not None:
             pickle.dump({
                 "steps_done": steps_done,

@@ -97,11 +97,20 @@ def step(
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn",))
-def init_state(key: jax.Array, log_prob_fn, x0: jax.Array) -> EnsembleState:
-    """Evaluate the initial ensemble log-probabilities and zero the counters."""
+def init_state(key: jax.Array, log_prob_fn, x0: jax.Array, aux=None) -> EnsembleState:
+    """Evaluate the initial ensemble log-probabilities and zero the counters.
+
+    ``aux``: optional pytree of runtime operands for the log-probability. When
+    given, ``log_prob_fn(aux, x)`` is called instead of ``log_prob_fn(x)``.
+    Passing model state as an operand (rather than closing over it) keeps the
+    compiled program value-independent, so the persistent compilation cache
+    hits across runs whose fitted emulators differ, and the program can be
+    AOT-compiled from shape specs before the fit exists (mcmc/programs.py).
+    """
+    fn = log_prob_fn if aux is None else (lambda x: log_prob_fn(aux, x))
     return EnsembleState(
         coords=x0,
-        log_prob=log_prob_fn(x0),
+        log_prob=fn(x0),
         n_accepted=jnp.zeros(x0.shape[0], jnp.int32),
         key=key,
     )
@@ -116,19 +125,29 @@ def run_chunk(
     randomize_split: bool = True,
     store_chain: bool = True,
     thin: int = 1,
+    aux=None,
 ):
     """Advance the ensemble by n_steps in one compiled lax.scan program.
 
     Chunks with identical static arguments share ONE compiled executable, so
     burn-in phases and production dispatch the same program — important on
     TPU where each distinct scan program costs tens of seconds to compile.
+    ``aux`` is an optional runtime-operand pytree (see init_state).
+
+    Returns (final_state, ys) with ys = (coords, log_prob, mean_accept) per
+    step when store_chain, else a per-step mean-acceptance trace only. The
+    scalar trace costs one float per step and lets the host log the
+    reference's ``n_logging_steps`` acceptance cadence (mcmc.py:187-204)
+    without chunking the dispatch.
     """
+    fn = log_prob_fn if aux is None else (lambda x: log_prob_fn(aux, x))
 
     def body(s, _):
         new = s
         for _ in range(thin):
-            new = step(new, log_prob_fn, a=a, randomize_split=randomize_split)
-        out = (new.coords, new.log_prob) if store_chain else None
+            new = step(new, fn, a=a, randomize_split=randomize_split)
+        acc = jnp.mean((new.n_accepted - s.n_accepted).astype(new.coords.dtype))
+        out = (new.coords, new.log_prob, acc) if store_chain else acc
         return new, out
 
     final, ys = jax.lax.scan(body, state, None, length=n_steps // thin)
@@ -202,6 +221,7 @@ def run_ensemble(
     store_chain: bool = True,
     thin: int = 1,
     chunk_size: int | None = None,
+    aux=None,
 ) -> dict[str, jax.Array]:
     """Run the sampler for ``n_steps`` on-chip.
 
@@ -209,7 +229,8 @@ def run_ensemble(
     compiled program (must divide n_steps); None = single dispatch.
 
     Returns {'chain': (n_steps//thin, W, d) [if store_chain], 'log_prob': same
-    leading shape, 'coords', 'final_log_prob', 'acceptance_fraction', 'key'}.
+    leading shape, 'acceptance_trace' (per-step mean acceptance), 'coords',
+    'final_log_prob', 'acceptance_fraction', 'key'}.
     """
     W = x0.shape[0]
     if W % 2:
@@ -219,21 +240,26 @@ def run_ensemble(
     if n_steps % chunk_size:
         raise ValueError(f"chunk_size {chunk_size} must divide n_steps {n_steps}")
 
-    state = init_state(key, log_prob_fn, x0)
-    chains, logps = [], []
+    state = init_state(key, log_prob_fn, x0, aux=aux)
+    chains, logps, accs = [], [], []
     for _ in range(n_steps // chunk_size):
         state, ys = run_chunk(
             state, log_prob_fn, chunk_size, a=a,
             randomize_split=randomize_split, store_chain=store_chain, thin=thin,
+            aux=aux,
         )
         if store_chain:
             chains.append(ys[0])
             logps.append(ys[1])
+            accs.append(ys[2])
+        else:
+            accs.append(ys)
 
     result = {
         "coords": state.coords,
         "final_log_prob": state.log_prob,
         "acceptance_fraction": state.n_accepted.astype(x0.dtype) / n_steps,
+        "acceptance_trace": accs[0] if len(accs) == 1 else jnp.concatenate(accs, axis=0),
         "key": state.key,
     }
     if store_chain:
