@@ -69,6 +69,23 @@ def _auto_window(taus: npt.NDArray, c: float) -> int:
     return len(taus) - 1
 
 
+def warm_fft_plans(n_t: int) -> None:
+    """Precompute pocketfft plans for the integrated_time transform length.
+
+    First-use FFT planning at a given length costs seconds on a small host;
+    the plan is cached per process. Call this while the device is busy (e.g.
+    right after dispatching the production scan) so ``integrated_time`` on the
+    downloaded chain only pays the ~2 s compute. Pure scipy — safe to run
+    while device programs execute.
+    """
+    from scipy import fft as sfft
+
+    nfft = sfft.next_fast_len(2 * n_t - 1, real=True)
+    x = np.zeros((n_t, 1), np.float32)
+    f = sfft.rfft(x, n=nfft, axis=0)
+    sfft.irfft(f, n=nfft, axis=0)
+
+
 def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet: bool = False) -> npt.NDArray:
     """Integrated autocorrelation time per parameter for a (n_steps, n_walkers, ndim) chain.
 
@@ -86,17 +103,19 @@ def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet
     if chain.ndim == 2:
         chain = chain[:, :, None]
     n_t, n_w, n_d = chain.shape
-    n = _next_pow_two(n_t)
     tau_est = np.empty(n_d)
     # ONE batched real FFT over all (walker, parameter) series, in the chain's
     # own precision: scipy.fft keeps float32 single-precision (~4x cheaper than
     # numpy's always-double complex transform) and parallelizes the batch
-    # across cores via ``workers``.
+    # across cores via ``workers``. Padding to next_fast_len(2*n_t - 1) keeps
+    # the linear autocorrelation exact (any pad >= 2*n_t - 1 does) with ~25%
+    # fewer points than emcee's 2*next_pow_two(n_t).
+    nfft = sfft.next_fast_len(2 * n_t - 1, real=True)
     x = (chain - chain.mean(axis=0)).reshape(n_t, n_w * n_d)
     workers = os.cpu_count() or 1
-    f = sfft.rfft(x, n=2 * n, axis=0, workers=workers)
+    f = sfft.rfft(x, n=nfft, axis=0, workers=workers)
     np.multiply(f, np.conjugate(f), out=f)
-    acf = sfft.irfft(f, n=2 * n, axis=0, workers=workers)[:n_t].reshape(n_t, n_w, n_d)
+    acf = sfft.irfft(f, n=nfft, axis=0, workers=workers)[:n_t].reshape(n_t, n_w, n_d)
     acf0 = acf[0]
     acf = acf / np.where(acf0 == 0.0, 1.0, acf0)
     taus_all = 2.0 * np.cumsum(acf.mean(axis=1, dtype=np.float64), axis=0) - 1.0  # (n_t, n_d)
@@ -136,12 +155,12 @@ def integrated_time_per_walker(chain: npt.NDArray, c: float = 5.0, tol: float = 
     if chain.ndim == 2:
         chain = chain[:, :, None]
     n_t, n_w, n_d = chain.shape
-    n = _next_pow_two(n_t)
+    nfft = sfft.next_fast_len(2 * n_t - 1, real=True)
     x = (chain - chain.mean(axis=0)).reshape(n_t, n_w * n_d)
     workers = os.cpu_count() or 1
-    f = sfft.rfft(x, n=2 * n, axis=0, workers=workers)
+    f = sfft.rfft(x, n=nfft, axis=0, workers=workers)
     np.multiply(f, np.conjugate(f), out=f)
-    acf = sfft.irfft(f, n=2 * n, axis=0, workers=workers)[:n_t]
+    acf = sfft.irfft(f, n=nfft, axis=0, workers=workers)[:n_t]
     acf0 = acf[0]
     acf = acf / np.where(acf0 == 0.0, 1.0, acf0)
     taus_all = 2.0 * np.cumsum(acf.astype(np.float64), axis=0) - 1.0  # (n_t, n_w*n_d)
