@@ -32,6 +32,8 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=8000)
     parser.add_argument("--burn", type=int, default=2000)
     parser.add_argument("--walkers", type=int, default=64)
+    parser.add_argument("--seed", type=int, default=0,
+                        help="seed for init positions + both samplers' RNG streams")
     args = parser.parse_args()
 
     import jax
@@ -68,12 +70,12 @@ def main() -> None:
     like = build_likelihood(emu_config, results, exp,
                             theta_min=pspec["min"], theta_max=pspec["max"])
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     x0 = rng.uniform(pspec["min"], pspec["max"], (args.walkers, len(pspec["min"])))
     x0 = 0.5 * (x0 + np.mean([pspec["min"], pspec["max"]], axis=0))
 
     print(f"# backend: {jax.default_backend()} dtype: {like.theta_min.dtype}", file=sys.stderr)
-    out = run_ensemble(jax.random.key(1), like.log_posterior,
+    out = run_ensemble(jax.random.key(args.seed + 1), like.log_posterior,
                        jnp.asarray(x0, like.theta_min.dtype), args.steps)
     chain = np.asarray(out["chain"])[args.burn:]
     acc = float(np.asarray(out["acceptance_fraction"]).mean())
@@ -96,6 +98,8 @@ def main() -> None:
 
     report = {
         "backend": jax.default_backend(),
+        "seed": args.seed,
+        "steps": args.steps,
         "acceptance_ours": round(acc, 4),
         "acceptance_numpy_ref": round(float(acc_np.mean()), 4),
         "tau_max": round(float(tau), 1),

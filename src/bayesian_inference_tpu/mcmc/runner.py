@@ -26,6 +26,14 @@ from bayesian_inference_tpu.pipeline.configs import EmulationConfig, MCMCConfig
 logger = logging.getLogger(__name__)
 
 
+def _logp_with_d0(like, d0, x):
+    """Module-level operand-style closure-batch posterior: both the likelihood
+    state and the per-point residual offset are runtime operands, so the
+    batched closure programs are value-independent (stable persistent-cache
+    keys — same rationale as mcmc/programs.py)."""
+    return like.log_posterior_with_d0(d0, x)
+
+
 def resample_walkers_to_top_positions(
     chain: np.ndarray, log_prob: np.ndarray, n_walkers: int
 ) -> np.ndarray:
@@ -312,7 +320,7 @@ def run_closure_batch(
     y_batch = np.stack([p["y"] for p in pseudodata])
     d0_np = pad_residual_offsets(emulation_config, emulation_results, y_batch)
     d0_batch = jax.device_put(np.asarray(d0_np, np.dtype(str(dt))))
-    fn = like.log_posterior_with_d0
+    fn = _logp_with_d0
 
     # Key derivation mirrors run_mcmc per point: key(seed+i) -> split chain.
     seeds = jnp.asarray([seed + i for i in closure_indices])
@@ -340,8 +348,8 @@ def run_closure_batch(
     # --- burn-in phase 1 (one batched program) --------------------------------
     _t = _time.perf_counter()
     keys, k1 = _vsplit(keys)
-    states = init_state_batched(k1, fn, x0, d0_batch)
-    states, ys1 = run_chunk_batched(states, fn, d0_batch, nburn0)
+    states = init_state_batched(k1, fn, x0, d0_batch, shared_aux=like)
+    states, ys1 = run_chunk_batched(states, fn, d0_batch, nburn0, shared_aux=like)
     chain1 = np.asarray(ys1[0])   # (nburn0, P, W, d)
     logp1 = np.asarray(ys1[1])
     logger.info(f"closure burn-1 ({P}x{nburn0}): {_time.perf_counter() - _t:.2f}s")
@@ -354,15 +362,15 @@ def run_closure_batch(
 
     _t = _time.perf_counter()
     keys, k2 = _vsplit(keys)
-    states = init_state_batched(k2, fn, jnp.asarray(x_top, dt), d0_batch)
-    states, _ = run_chunk_batched(states, fn, d0_batch, nburn1, store_chain=False)
+    states = init_state_batched(k2, fn, jnp.asarray(x_top, dt), d0_batch, shared_aux=like)
+    states, _ = run_chunk_batched(states, fn, d0_batch, nburn1, store_chain=False, shared_aux=like)
     jax.block_until_ready(states.coords)
     logger.info(f"closure burn-2 ({P}x{nburn1}): {_time.perf_counter() - _t:.2f}s")
 
     # --- production: chunked dispatch, downloads overlap execution ------------
     _t = _time.perf_counter()
     keys, k3 = _vsplit(keys)
-    states = init_state_batched(k3, fn, states.coords, d0_batch)
+    states = init_state_batched(k3, fn, states.coords, d0_batch, shared_aux=like)
     n_total = config.n_sampling_steps
     if dispatch_chunk is None:
         dispatch_chunk = _production_chunk(config, None)
@@ -380,7 +388,7 @@ def run_closure_batch(
     )
     pending = []
     for n in sizes:
-        states, ys = run_chunk_batched(states, fn, d0_batch, n)
+        states, ys = run_chunk_batched(states, fn, d0_batch, n, shared_aux=like)
         pending.append(ys)
     chain = np.concatenate([np.asarray(ys[0]) for ys in pending], axis=0)
     log_prob = np.concatenate([np.asarray(ys[1]) for ys in pending], axis=0)

@@ -164,14 +164,19 @@ def run_chunk(
 # --------------------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("log_prob_fn",))
-def init_state_batched(keys: jax.Array, log_prob_fn, x0: jax.Array, aux) -> EnsembleState:
+def init_state_batched(keys: jax.Array, log_prob_fn, x0: jax.Array, aux, shared_aux=None) -> EnsembleState:
     """Vmapped init: keys (P,), x0 (P, W, d), aux pytree with leading P axis.
 
     ``log_prob_fn(aux_p, x)`` maps one point's auxiliary operand and a (W, d)
-    walker batch to (W,) log-posteriors.
+    walker batch to (W,) log-posteriors. With ``shared_aux`` (a pytree WITHOUT
+    a P axis, broadcast to every point — e.g. the likelihood state), the call
+    is ``log_prob_fn(shared_aux, aux_p, x)``; passing the model as an operand
+    keeps the compiled program value-independent (see mcmc/programs.py).
     """
     def one(key, x, a):
-        return init_state(key, lambda xx: log_prob_fn(a, xx), x)
+        if shared_aux is None:
+            return init_state(key, lambda xx: log_prob_fn(a, xx), x)
+        return init_state(key, lambda xx: log_prob_fn(shared_aux, a, xx), x)
 
     return jax.vmap(one)(keys, x0, aux)
 
@@ -186,18 +191,23 @@ def run_chunk_batched(
     randomize_split: bool = True,
     store_chain: bool = True,
     thin: int = 1,
+    shared_aux=None,
 ):
     """Advance P independent ensembles by n_steps in one compiled lax.scan.
 
     ``states`` is an EnsembleState pytree with a leading P axis on every leaf;
-    ``aux`` is the per-point likelihood operand (leading P axis). The chain
-    output has shape (n_steps//thin, P, W, d).
+    ``aux`` is the per-point likelihood operand (leading P axis) and
+    ``shared_aux`` an optional P-invariant operand pytree (see
+    init_state_batched). The chain output has shape (n_steps//thin, P, W, d).
     """
 
     def step_point(s, aux_p):
+        fn = (lambda x: log_prob_fn(aux_p, x)) if shared_aux is None else (
+            lambda x: log_prob_fn(shared_aux, aux_p, x)
+        )
         new = s
         for _ in range(thin):
-            new = step(new, lambda x: log_prob_fn(aux_p, x), a=a, randomize_split=randomize_split)
+            new = step(new, fn, a=a, randomize_split=randomize_split)
         return new
 
     vstep = jax.vmap(step_point)

@@ -137,8 +137,11 @@ class SteerAnalysis:
                     run_closure_batch(mcmc_config, range(n_points))
                 else:
                     from bayesian_inference_tpu.mcmc.runner import run_mcmc
+                    from bayesian_inference_tpu.utils.helpers import progress_iter
 
-                    for i in range(n_points):
+                    for i in progress_iter(
+                        range(n_points), f"closure MCMC [{analysis_name}]", logger
+                    ):
                         cfg_i = MCMCConfig(
                             analysis_name=analysis_name,
                             parameterization=parameterization,

@@ -42,7 +42,9 @@ def plot(config) -> None:
     per_point = []
     names = config.analysis_config["parameterization"][config.parameterization]["names"]
     confidence = getattr(config, "confidence", 0.9)
-    for i in indices:
+    from bayesian_inference_tpu.utils.helpers import progress_iter
+
+    for i in progress_iter(indices, "closure plots", logger):
         run_dir = os.path.join(closure_base, str(i))
         if not os.path.exists(os.path.join(run_dir, "mcmc.h5")):
             continue
