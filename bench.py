@@ -6,11 +6,18 @@ workload across a 20-core node via emcee + multiprocessing).
 Prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 60/seconds}
 
-Configuration mirrors the production jet_substructure analysis scale: three
-emulation groups with n_pc = 5 / 11 / 25 (41 GPs total), Matern-1.5 + white
-noise kernels, 50 optimizer restarts per PC, 1,000 burn-in + 50,000 production
-steps. Runs fp32 on TPU; posterior parity vs the x64 CPU path is covered in
-tests/ and by scripts/parity_check.py.
+Configuration mirrors the production jet_substructure analysis's COMPUTE
+scale: three emulation groups with n_pc = 5 / 11 / 25 (41 GPs total, the
+production per-group PC counts), Matern-1.5 + white noise kernels, 50
+optimizer restarts per PC, 1,000 burn-in + 50,000 production steps, (200, 6)
+design. Scope note: the DATA come from the bundled real fixture (16
+observables / 215 features) rather than the full production table set (a few
+hundred observables); per-walker likelihood cost scales with the number of
+observable blocks, so full-production data would add roughly 2-4x to the
+per-step likelihood (still block-parallel on-chip). The GP fit (matched:
+41 PCs x 51 restarts x (200,6)) and sampler-step counts are at full
+production scale. Runs fp32 on TPU; posterior parity vs the x64 CPU path is
+covered in tests/ and by scripts/parity_check.py.
 """
 
 from __future__ import annotations

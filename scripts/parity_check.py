@@ -80,11 +80,19 @@ def main() -> None:
     chain = np.asarray(out["chain"])[args.burn:]
     acc = float(np.asarray(out["acceptance_fraction"]).mean())
 
-    logp_jit = jax.jit(like.log_posterior)
-    chain_np, _, acc_np = run_stretch_numpy(
-        rng, lambda x: np.asarray(logp_jit(jnp.asarray(x, like.theta_min.dtype))),
-        x0, args.steps,
-    )
+    # The independent numpy reference evaluates the same likelihood on the CPU
+    # backend (host-resident copy): zero tunnel roundtrips per step, and the
+    # device comparison then spans sampler implementation AND backend/precision
+    # (TPU f32 on-chip scan vs CPU numpy loop).
+    np_dt = np.dtype(str(like.theta_min.dtype))
+    if args.device:
+        like_ref = jax.tree.map(lambda a: np.asarray(a), like)
+        logp_jit = jax.jit(like_ref.log_posterior, backend="cpu")
+        ref_logp = lambda x: np.asarray(logp_jit(np.asarray(x, np_dt)))
+    else:
+        logp_jit = jax.jit(like.log_posterior)
+        ref_logp = lambda x: np.asarray(logp_jit(jnp.asarray(x, np_dt)))
+    chain_np, _, acc_np = run_stretch_numpy(rng, ref_logp, x0, args.steps)
     chain_np = chain_np[args.burn:]
 
     s1 = chain.reshape(-1, chain.shape[-1])

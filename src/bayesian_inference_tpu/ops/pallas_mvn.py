@@ -82,18 +82,23 @@ def block_mvn_loglike(dY: jax.Array, C: jax.Array, interpret: bool | None = None
     """
     *lead, nb = dY.shape
     if interpret is None:
-        if jax.default_backend() != "tpu" or nb > 48:
-            # Portable path: same math, no kernel-interpreter overhead. Also
-            # taken for very wide observable blocks, where the single-program
-            # kernel's (nb, nb, batch) working set would outgrow VMEM.
-            from bayesian_inference_tpu.ops.cholesky import tiny_mvn_loglike
-
-            if nb <= 48:
-                return tiny_mvn_loglike(dY, C)
+        if nb > 48:
+            # Very wide observable blocks: the single-program kernel's
+            # (nb, nb, batch) working set would outgrow VMEM.
             from bayesian_inference_tpu.ops.mvn import mvn_loglike_dense
 
             return mvn_loglike_dense(dY, C)
-        interpret = False
+        from bayesian_inference_tpu.ops.cholesky import tiny_mvn_loglike
+
+        # Select by LOWERING platform, not jax.default_backend(): the same
+        # traced function must lower on a cpu-backend jit even when the
+        # process default is TPU (e.g. scripts/parity_check.py --device runs
+        # the reference sampler's likelihood on the host).
+        return jax.lax.platform_dependent(
+            dY, C,
+            tpu=lambda d, c: block_mvn_loglike(d, c, interpret=False),
+            default=tiny_mvn_loglike,
+        )
     batch = 1
     for s in lead:
         batch *= s
