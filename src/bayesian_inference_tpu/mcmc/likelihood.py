@@ -72,12 +72,11 @@ class EmulatorLikelihood:
     def log_likelihood(self, theta: jax.Array) -> jax.Array:
         z, v = self.gp_eval(theta)
         if self.mode == "block":
-            from bayesian_inference_tpu.ops.pallas_mvn import block_mvn_loglike
+            from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike
 
-            dY = self.d0 + jnp.einsum("bfk,wk->wbf", self.U, z)
-            C = self.D + jnp.einsum("bfk,wk,bgk->wbfg", self.U, v, self.U)
-            ll = block_mvn_loglike(dY, C)          # (W, n_obs); fused Pallas kernel on TPU
-            return jnp.sum(ll, axis=-1)
+            # One kernel does residual + covariance assembly + Cholesky +
+            # loglike in VMEM — no (W, n_obs, nb, nb) tensor ever hits HBM.
+            return fused_block_mvn_loglike(self.U, self.D, self.d0, z, v)
         if self.mode == "lowrank":
             return woodbury_loglike(self.wb, z, v)
         raise ValueError(f"unknown likelihood mode {self.mode}")

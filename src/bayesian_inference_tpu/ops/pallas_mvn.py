@@ -73,6 +73,146 @@ def _block_mvn_pallas(Ct: jax.Array, dYt: jax.Array, interpret: bool = False) ->
     )(Ct, dYt)
 
 
+# --------------------------------------------------------------------------------------
+# Fully fused variant: covariance assembly + factorization + loglike in one kernel.
+#
+# The MCMC likelihood (mcmc/likelihood.py block mode) previously assembled
+#   dY = d0 + U z          (W, n_obs, nb)
+#   C  = D + U diag(v) U^T (W, n_obs, nb, nb)
+# in XLA and then called the kernel above — materializing the (W, n_obs, nb, nb)
+# covariance tensor through HBM every sampler step. Here both assemblies happen
+# in VMEM as small MXU matmuls ((nb, k) x (k, lanes)) immediately before the
+# factorization, so per step the only HBM traffic is the operands themselves.
+#
+# Layout: grid over (observable, walker-lane-block). The Cholesky state is a
+# LIST of (nb, lanes) column arrays (all 2D, Mosaic-friendly — no (nb, nb,
+# lanes) reshapes), with the nb loops unrolled exactly like _mvn_kernel.
+# --------------------------------------------------------------------------------------
+
+
+def _fused_kernel(nb: int, u_ref, d_ref, z_ref, v_ref, out_ref):
+    # U carries d0 as its LAST column (the wrapper appends a ones-row to z and
+    # a zeros-row to v), so dY = U z includes the constant offset and the
+    # covariance assembly sees d0 * 0 — one operand fewer, everything 2D.
+    U = u_ref[0]            # (nb, k+1)
+    D = d_ref[0]            # (nb, nb)
+    z = z_ref[:]            # (k+1, lanes)
+    v = v_ref[:]            # (k+1, lanes)
+    f32 = jnp.float32
+
+    # Residual: dY = d0 + U z, (nb, lanes) on the MXU.
+    b = jax.lax.dot(U, z, precision=jax.lax.Precision.HIGHEST)
+
+    # Covariance columns: cols[g][f, w] = D[f, g] + sum_k U[f,k] U[g,k] v[k,w].
+    cols = [
+        D[:, g : g + 1]
+        + jax.lax.dot(U * U[g : g + 1, :], v, precision=jax.lax.Precision.HIGHEST)
+        for g in range(nb)
+    ]
+
+    lanes = z.shape[-1]
+    quad = jnp.zeros((1, lanes), f32)
+    half_logdet = jnp.zeros((1, lanes), f32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 0)
+
+    # Column-list Cholesky: identical math to _mvn_kernel's rank-1 downdates.
+    for j in range(nb):
+        pivot = cols[j][j : j + 1, :]                 # (1, lanes)
+        inv_p = jax.lax.rsqrt(pivot)
+        col = cols[j] * inv_p                         # (nb, lanes)
+        col = jnp.where(row_ids >= j, col, jnp.zeros_like(col))
+        y_j = b[j : j + 1, :] * inv_p
+        b = b - col * y_j
+        quad = quad + y_j * y_j
+        half_logdet = half_logdet + 0.5 * jnp.log(pivot)
+        for g in range(j + 1, nb):
+            cols[g] = cols[g] - col * col[g : g + 1, :]
+
+    # Output block is (1, 8, lanes) — 8 sublanes to satisfy the TPU tiling
+    # constraint; all 8 rows carry the same value, the wrapper reads row 0.
+    out_ref[0] = jnp.broadcast_to(-0.5 * quad - half_logdet, (8, lanes))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_block_mvn_pallas(Ue, D, zT, vT, interpret: bool = False):
+    """(n_obs,nb,k+1),(n_obs,nb,nb),(k+1,Wp),(k+1,Wp) -> (n_obs, Wp)."""
+    n_obs, nb, k1 = Ue.shape
+    Wp = zT.shape[-1]
+    lanes = 128
+    kernel = functools.partial(_fused_kernel, nb)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_obs, Wp // lanes),
+        out_shape=jax.ShapeDtypeStruct((n_obs, 8, Wp), Ue.dtype),
+        in_specs=[
+            pl.BlockSpec((1, nb, k1), lambda b, w: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, nb), lambda b, w: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k1, lanes), lambda b, w: (0, w), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k1, lanes), lambda b, w: (0, w), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, lanes), lambda b, w: (b, 0, w), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(Ue, D, zT, vT)
+
+
+def fused_block_mvn_loglike(
+    U: jax.Array,
+    D: jax.Array,
+    d0: jax.Array,
+    z: jax.Array,
+    v: jax.Array,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Block-likelihood from emulator PC predictions, fully fused on TPU.
+
+    Inputs: padded block tensors U (n_obs, nb, k), D (n_obs, nb, nb),
+    d0 (n_obs, nb) — see mcmc/likelihood.build_likelihood — and per-walker PC
+    means/variances z, v (W, k). Returns (W,) log-likelihoods (summed over
+    observables); padded rows carry identity/zero blocks contributing 0,
+    exactly as in the composed path.
+
+    Off-TPU (or with interpret=None on a non-TPU lowering) falls back to the
+    composed XLA implementation — identical math, used as the parity oracle in
+    tests/test_ops.py.
+    """
+    n_obs, nb, k = U.shape
+    W = z.shape[0]
+
+    def composed(U, D, d0, z, v):
+        dY = d0 + jnp.einsum("bfk,wk->wbf", U, z)
+        C = D + jnp.einsum("bfk,wk,bgk->wbfg", U, v, U)
+        from bayesian_inference_tpu.ops.cholesky import tiny_mvn_loglike
+
+        return jnp.sum(tiny_mvn_loglike(dY, C), axis=-1)
+
+    def pallas_path(U, D, d0, z, v, *, interp=False):
+        # Fold d0 into U's last column (ones-row in z, zeros-row in v): the
+        # kernel then sees only (Ue, D, z', v') with everything 2D.
+        Ue = jnp.concatenate([U, d0[:, :, None]], axis=-1)
+        pad = (-W) % 128
+        ones = jnp.ones((W, 1), z.dtype)
+        zeros = jnp.zeros((W, 1), v.dtype)
+        ze = jnp.concatenate([z, ones], axis=1)
+        ve = jnp.concatenate([v, zeros], axis=1)
+        if pad:
+            ze = jnp.concatenate([ze, jnp.zeros((pad, k + 1), z.dtype)], axis=0)
+            ve = jnp.concatenate([ve, jnp.zeros((pad, k + 1), v.dtype)], axis=0)
+        ll = _fused_block_mvn_pallas(Ue, D, ze.T, ve.T, interpret=interp)
+        return jnp.sum(ll[:, 0, :W], axis=0)
+
+    if interpret is not None:
+        return pallas_path(U, D, d0, z, v, interp=interpret)
+    if nb > 48:
+        from bayesian_inference_tpu.ops.mvn import mvn_loglike_dense
+
+        dY = d0 + jnp.einsum("bfk,wk->wbf", U, z)
+        C = D + jnp.einsum("bfk,wk,bgk->wbfg", U, v, U)
+        return jnp.sum(mvn_loglike_dense(dY, C), axis=-1)
+    return jax.lax.platform_dependent(
+        U, D, d0, z, v, tpu=pallas_path, default=composed
+    )
+
+
 def block_mvn_loglike(dY: jax.Array, C: jax.Array, interpret: bool | None = None) -> jax.Array:
     """Fused MVN loglike for (..., nb) residuals and (..., nb, nb) covariances.
 

@@ -62,3 +62,63 @@ def test_block_mvn_dispatch_cpu_path():
     dY, C = _random_blocks(2, 3, 8)
     auto = np.asarray(block_mvn_loglike(jnp.asarray(dY), jnp.asarray(C)))
     np.testing.assert_allclose(auto, _scipy_ref(dY, C), rtol=1e-9)
+
+
+def _random_fused(W, B, nb, k, seed=5):
+    r = np.random.default_rng(seed)
+    U = r.normal(size=(B, nb, k)) / np.sqrt(k)
+    A = r.normal(size=(B, nb, nb))
+    D = A @ np.swapaxes(A, -1, -2) / nb + 2.0 * np.eye(nb)
+    d0 = r.normal(size=(B, nb))
+    z = r.normal(size=(W, k))
+    v = r.uniform(0.1, 1.0, size=(W, k))
+    return U, D, d0, z, v
+
+
+def _fused_ref(U, D, d0, z, v):
+    dY = d0 + np.einsum("bfk,wk->wbf", U, z)
+    C = D + np.einsum("bfk,wk,bgk->wbfg", U, v, U)
+    return _scipy_ref(dY, C).sum(axis=1)
+
+
+def test_fused_block_mvn_interpret_matches_scipy():
+    """Full fused kernel (assembly + Cholesky + loglike) in interpreter mode,
+    including walker-lane padding and the d0-as-extra-U-column folding."""
+    from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike
+
+    U, D, d0, z, v = _random_fused(W=37, B=4, nb=11, k=9)  # 37 walkers -> pads to 128
+    ours = np.asarray(
+        fused_block_mvn_loglike(*(jnp.asarray(a) for a in (U, D, d0, z, v)), interpret=True)
+    )
+    np.testing.assert_allclose(ours, _fused_ref(U, D, d0, z, v), rtol=1e-8)
+
+
+def test_fused_block_mvn_vmap_over_d0():
+    """The closure-test batch vmaps the likelihood over per-point residual
+    offsets; the pallas batching rule must handle a mapped d0 with broadcast
+    U/D (interpret mode exercises the same rule the TPU path uses)."""
+    import jax
+
+    from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike
+
+    U, D, d0, z, v = _random_fused(W=5, B=3, nb=9, k=7)
+    P = 4
+    d0_batch = np.stack([d0 * (1 + 0.1 * p) for p in range(P)])
+    out = jax.vmap(
+        lambda d: fused_block_mvn_loglike(
+            jnp.asarray(U), jnp.asarray(D), d, jnp.asarray(z), jnp.asarray(v),
+            interpret=True,
+        )
+    )(jnp.asarray(d0_batch))
+    ref = np.stack([_fused_ref(U, D, d0_batch[p], z, v) for p in range(P)])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-8)
+
+
+def test_fused_block_mvn_dispatch_cpu_path():
+    from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike
+
+    U, D, d0, z, v = _random_fused(W=6, B=3, nb=7, k=5)
+    auto = np.asarray(
+        fused_block_mvn_loglike(*(jnp.asarray(a) for a in (U, D, d0, z, v)))
+    )
+    np.testing.assert_allclose(auto, _fused_ref(U, D, d0, z, v), rtol=1e-9)
