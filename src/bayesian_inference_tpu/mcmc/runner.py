@@ -257,6 +257,7 @@ def run_closure_batch(
     seed: int = 0,
     dtype=None,
     dispatch_chunk: int | None = None,
+    mesh=None,
 ) -> dict[int, dict[str, Any]]:
     """Run ALL closure-test MCMCs in one batched on-chip program.
 
@@ -271,6 +272,11 @@ def run_closure_batch(
     ``run_mcmc(config_i, closure_index=i, seed=seed+i)``, and the per-point
     ``closure/results/<i>/mcmc.h5`` artifacts are written unchanged.
 
+    ``mesh``: a jax.sharding.Mesh — validation points are data-parallel, so
+    the P axis shards across chips (the batch pads to a multiple of the mesh
+    size with duplicate points whose outputs are discarded); each chip runs
+    its share of the vmapped ensembles with no collectives in the hot loop.
+
     Requires likelihood mode 'block' (lowrank bakes d0 into its Woodbury
     precomputation); falls back is the caller's responsibility.
     """
@@ -282,6 +288,12 @@ def run_closure_batch(
     closure_indices = list(closure_indices)
     P = len(closure_indices)
     assert P >= 1
+    # Pad to a mesh-size multiple with duplicates of the last point; the
+    # padded rows' chains are computed but never written out.
+    n_pad = 0
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        n_pad = (-P) % n_dev
     param_spec = config.parameterization_spec()
     theta_min = np.asarray(param_spec["min"], float)
     theta_max = np.asarray(param_spec["max"], float)
@@ -319,11 +331,18 @@ def run_closure_batch(
     ]
     y_batch = np.stack([p["y"] for p in pseudodata])
     d0_np = pad_residual_offsets(emulation_config, emulation_results, y_batch)
+    if n_pad:
+        d0_np = np.concatenate([d0_np, np.repeat(d0_np[-1:], n_pad, axis=0)], axis=0)
     d0_batch = jax.device_put(np.asarray(d0_np, np.dtype(str(dt))))
     fn = _logp_with_d0
 
+    from bayesian_inference_tpu.parallel.mesh import shard_leading_axis
+
+    d0_batch = shard_leading_axis(d0_batch, mesh)
+
     # Key derivation mirrors run_mcmc per point: key(seed+i) -> split chain.
-    seeds = jnp.asarray([seed + i for i in closure_indices])
+    key_ids = [seed + i for i in closure_indices] + [seed + closure_indices[-1]] * n_pad
+    seeds = jnp.asarray(key_ids)
     keys = jax.vmap(jax.random.key)(seeds)
 
     def _vsplit(keys):
@@ -336,6 +355,7 @@ def run_closure_batch(
             k, (W, ndim), minval=like.theta_min, maxval=like.theta_max, dtype=dt
         )
     )(k_init)
+    x0 = shard_leading_axis(x0, mesh)
 
     nburn0 = config.n_burn_steps // 2
     nburn1 = config.n_burn_steps - nburn0
@@ -343,6 +363,7 @@ def run_closure_batch(
     logger.info(
         f"Batched closure MCMC: {P} validation points x {W} walkers, "
         f"burn-in {nburn0}+{nburn1}, production {config.n_sampling_steps}"
+        + (f" (+{n_pad} pad points sharded over {mesh.devices.size} devices)" if mesh is not None else "")
     )
 
     # --- burn-in phase 1 (one batched program) --------------------------------
@@ -357,12 +378,13 @@ def run_closure_batch(
     # --- per-point top-likelihood resampling (host, reference parity) ---------
     x_top = np.stack([
         resample_walkers_to_top_positions(chain1[:, p], logp1[:, p], W)
-        for p in range(P)
+        for p in range(P + n_pad)
     ])
 
     _t = _time.perf_counter()
     keys, k2 = _vsplit(keys)
-    states = init_state_batched(k2, fn, jnp.asarray(x_top, dt), d0_batch, shared_aux=like)
+    x_top_dev = shard_leading_axis(jax.device_put(np.asarray(x_top, np.dtype(str(dt)))), mesh)
+    states = init_state_batched(k2, fn, x_top_dev, d0_batch, shared_aux=like)
     states, _ = run_chunk_batched(states, fn, d0_batch, nburn1, store_chain=False, shared_aux=like)
     jax.block_until_ready(states.coords)
     logger.info(f"closure burn-2 ({P}x{nburn1}): {_time.perf_counter() - _t:.2f}s")

@@ -46,6 +46,8 @@ class EmulationGroupConfig:
     active_kernels: dict[str, Any] = attrs.field(init=False)
     n_restarts: int = attrs.field(init=False)
     alpha: float = attrs.field(init=False)
+    cross_validation: bool = attrs.field(init=False)
+    cross_validation_k: int = attrs.field(init=False)
     observable_filter: ObservableFilter | None = attrs.field(init=False)
     output_dir: str = attrs.field(init=False)
     emulation_outputfile: str = attrs.field(init=False)
@@ -73,6 +75,11 @@ class EmulationGroupConfig:
 
         self.n_restarts = group_cfg["GPR"]["n_restarts"]
         self.alpha = group_cfg["GPR"]["alpha"]
+        # k-fold emulator cross-validation: declared-but-unimplemented in the
+        # reference (jet_substructure.yaml:85-90, "TODO: Cross-validation");
+        # implemented in models/cv.py. Same YAML keys and defaults.
+        self.cross_validation = bool(group_cfg.get("cross_validation", False))
+        self.cross_validation_k = int(group_cfg.get("cross_validation_k", 5))
 
         include = group_cfg.get("observable_list", [])
         exclude = group_cfg.get("observable_exclude_list", [])

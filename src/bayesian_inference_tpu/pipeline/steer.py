@@ -107,6 +107,17 @@ class SteerAnalysis:
                 )
                 emulator.fit_emulators(emulation_config)
 
+            if any(
+                g.cross_validation
+                for g in emulation_config.emulation_groups_config.values()
+            ):
+                # k-fold emulator CV (the reference's open TODO,
+                # jet_substructure.yaml:85-90) — see models/cv.py.
+                with stage_timer(f"cross_validation[{analysis_name}/{parameterization}]", logger):
+                    from bayesian_inference_tpu.models.cv import cross_validate
+
+                    cross_validate(emulation_config)
+
         if self.run_mcmc:
             with stage_timer(f"mcmc[{analysis_name}/{parameterization}]", logger):
                 from bayesian_inference_tpu.mcmc.runner import run_mcmc

@@ -40,6 +40,42 @@ def plot(config) -> None:
 
     _plot_residuals(config, results, plot_dir, validation_set=False)
     _plot_residuals(config, results, plot_dir, validation_set=True)
+    for name in results:
+        _plot_cross_validation(config, name, plot_dir)
+
+
+def _plot_cross_validation(config, name: str, plot_dir: str) -> None:
+    """k-fold CV diagnostics from cross_validation_<group>.h5 (models/cv.py):
+    held-out predictions vs truth and standardized residuals vs N(0,1)."""
+    from bayesian_inference_tpu.io import hdf5
+
+    path = os.path.join(config.output_dir, f"cross_validation_{name}.h5")
+    if not os.path.exists(path):
+        return
+    art = hdf5.read_dict_from_h5(config.output_dir, f"cross_validation_{name}.h5", verbose=False)
+    truth = np.asarray(art["truth"]).reshape(-1)
+    preds = np.asarray(art["predictions"]).reshape(-1)
+    z = np.asarray(art["normalized_residuals"]).reshape(-1)
+    k = int(np.asarray(art["k"]))
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+    ax1.plot(truth, preds, ".", ms=1, alpha=0.3)
+    lims = [min(truth.min(), preds.min()), max(truth.max(), preds.max())]
+    ax1.plot(lims, lims, "k--", lw=1)
+    ax1.set_xlabel("model (held-out)")
+    ax1.set_ylabel("emulator (CV)")
+    ax1.set_title(f"{name}: {k}-fold cross-validation")
+
+    ax2.hist(np.clip(z, -6, 6), bins=80, density=True)
+    xs = np.linspace(-5, 5, 200)
+    ax2.plot(xs, np.exp(-0.5 * xs**2) / np.sqrt(2 * np.pi), "r--", lw=1, label="N(0,1)")
+    cov1 = float((np.abs(z) < 1).mean())
+    ax2.set_xlabel("(emulator - model) / sigma  (held-out)")
+    ax2.set_title(f"1$\\sigma$ coverage {cov1:.2f} (want ~0.68)")
+    ax2.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, f"cross_validation__{name}.pdf"))
+    plt.close(fig)
 
 
 def _plot_pca_explained_variance(art: dict, name: str, plot_dir: str) -> None:
@@ -96,6 +132,16 @@ def _plot_residuals(config, results: dict, plot_dir: str, validation_set: bool) 
     pred = emulator_mod.predict(np.asarray(theta), config, emulation_group_results=results)
     mean = pred["central_value"]
     std = np.sqrt(np.maximum(np.einsum("bff->bf", pred["cov"]), 1e-30))
+
+    # The merged prediction spans the GLOBAL sorted feature axis with zeros at
+    # observables no group covers; Y_true is filtered to covered observables.
+    # Slice predictions to the covered columns (slice-map order == filtered
+    # sorted order) so partial-coverage group sets compare correctly.
+    if mean.shape[1] != Y_true.shape[1]:
+        slice_map = emulator_mod.GroupSliceMap.learn(config)
+        cols = np.concatenate([np.arange(e[2].start, e[2].stop) for e in slice_map.entries])
+        mean = mean[:, cols]
+        std = std[:, cols]
 
     resid = mean - Y_true
     normed = resid / std

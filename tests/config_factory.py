@@ -49,6 +49,8 @@ def make_analysis_yaml(
             "GPR": {"n_restarts": n_restarts, "alpha": 1.0e-10},
             "observable_list": g["observable_list"],
             **({"observable_exclude_list": g["observable_exclude_list"]} if "observable_exclude_list" in g else {}),
+            **({"cross_validation": g["cross_validation"]} if "cross_validation" in g else {}),
+            **({"cross_validation_k": g["cross_validation_k"]} if "cross_validation_k" in g else {}),
         }
 
     parameterization = "exponential"

@@ -103,6 +103,7 @@ def test_pairplot_holdout_containment_logic(tmp_path):
     assert (tmp_path / "in.pdf").exists() and (tmp_path / "out.pdf").exists()
 
 
+@pytest.mark.slow
 def test_batched_closure_matches_sequential(closure_setup, tmp_path):
     """run_closure_batch (all validation points vmapped into one program)
     reproduces the sequential per-point runner exactly: same pseudodata, same
@@ -150,3 +151,39 @@ def test_batched_closure_matches_sequential(closure_setup, tmp_path):
         stored = io.read_dict_from_h5(cfg_i.mcmc_output_dir, "mcmc.h5", verbose=False)
         np.testing.assert_allclose(stored["chain"], batched[i]["chain"])
         assert stored["design_point"].shape == (6,)
+
+
+@pytest.mark.slow
+def test_batched_closure_sharded_over_mesh(closure_setup):
+    """The closure P axis shards over the device mesh (with pad points when P
+    isn't a mesh multiple); results match the unsharded batch."""
+    import shutil
+
+    import jax
+
+    from bayesian_inference_tpu.mcmc.runner import run_closure_batch
+    from bayesian_inference_tpu.parallel.mesh import get_mesh
+
+    config_path, analysis_name, param, analysis_config = closure_setup
+    indices = [0, 1, 2]  # pads to 8 on the virtual 8-device mesh
+
+    base_cfg = MCMCConfig(
+        analysis_name=analysis_name, parameterization=param,
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+    plain = run_closure_batch(base_cfg, indices, seed=0)
+    for i in indices:
+        cfg_i = MCMCConfig(
+            analysis_name=analysis_name, parameterization=param,
+            analysis_config=analysis_config, config_file=str(config_path),
+            closure_index=i,
+        )
+        shutil.rmtree(cfg_i.mcmc_output_dir)
+
+    mesh = get_mesh(len(jax.devices()))
+    sharded = run_closure_batch(base_cfg, indices, seed=0, mesh=mesh)
+    for i in indices:
+        np.testing.assert_allclose(sharded[i]["chain"], plain[i]["chain"], rtol=1e-10)
+        np.testing.assert_allclose(
+            sharded[i]["acceptance_fraction"], plain[i]["acceptance_fraction"]
+        )

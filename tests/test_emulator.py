@@ -1,5 +1,7 @@
 """End-to-end emulator tests: group fit -> persistence -> merged prediction."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -100,3 +102,57 @@ def test_cov_unexplained_scaling_flag(fitted):
     diff = b["cov"] - a["cov"]
     expected = (1.0 - 1.0 / 4) * sig * np.outer(scale, scale)
     np.testing.assert_allclose(diff[0], expected, rtol=1e-8, atol=1e-12)
+
+
+def test_cross_validation_group(tmp_path):
+    """k-fold CV (models/cv.py — the reference's declared-but-unimplemented
+    cross_validation keys): artifact shapes, leakage-free folds, calibration."""
+    from bayesian_inference_tpu.models.cv import cross_validate, cross_validate_group
+    from bayesian_inference_tpu.pipeline.configs import EmulationConfig, load_yaml
+    from conftest import make_analysis_yaml
+
+    groups = {
+        "cv_group": {
+            "n_pc": 2, "observable_list": ["pt_ch_"],
+            "cross_validation": True, "cross_validation_k": 4,
+        }
+    }
+    config_path, analysis_name, param = make_analysis_yaml(tmp_path, groups=groups, n_restarts=1)
+    analysis_config = load_yaml(config_path)["analyses"][analysis_name]
+    emu_config = EmulationConfig.from_config_file(
+        analysis_name=analysis_name, parameterization=param,
+        config_file=str(config_path), analysis_config=analysis_config,
+    )
+    gcfg = emu_config.emulation_groups_config["cv_group"]
+    assert gcfg.cross_validation and gcfg.cross_validation_k == 4
+
+    art = cross_validate_group(gcfg, seed=0, n_opt_iters=15)
+    k = int(np.asarray(art["k"]))
+    assert k == 4
+    folds = np.asarray(art["fold_indices"])
+    # folds are disjoint (no point is tested twice)
+    flat = folds.ravel()
+    assert len(set(flat.tolist())) == flat.size
+    n_feat = art["truth"].shape[-1]
+    assert art["predictions"].shape == folds.shape + (n_feat,)
+    assert np.isfinite(art["rmse_per_feature"]).all()
+    # calibration sanity: held-out standardized residuals roughly N(0,1)
+    z = np.asarray(art["normalized_residuals"]).ravel()
+    cov1 = (np.abs(z) < 1).mean()
+    assert 0.3 < cov1 <= 1.0, cov1
+    assert np.abs(z).mean() < 3.0
+
+    # cross_validate() writes the artifact + plots render it
+    out = cross_validate(emu_config, n_opt_iters=15)
+    assert "cv_group" in out
+    path = os.path.join(gcfg.output_dir, "cross_validation_cv_group.h5")
+    assert os.path.exists(path)
+
+    from bayesian_inference_tpu.plots import emulation as plot_emulation
+
+    # need fitted emulator artifacts for the main plot() entry
+    emulator.fit_emulators(emu_config, n_opt_iters=15)
+    plot_emulation.plot(emu_config)
+    assert os.path.exists(
+        os.path.join(gcfg.output_dir, "plot_emulation", "cross_validation__cv_group.pdf")
+    )
