@@ -116,9 +116,12 @@ def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet
     f = sfft.rfft(x, n=nfft, axis=0, workers=workers)
     np.multiply(f, np.conjugate(f), out=f)
     acf = sfft.irfft(f, n=nfft, axis=0, workers=workers)[:n_t].reshape(n_t, n_w, n_d)
-    acf0 = acf[0]
-    acf = acf / np.where(acf0 == 0.0, 1.0, acf0)
-    taus_all = 2.0 * np.cumsum(acf.mean(axis=1, dtype=np.float64), axis=0) - 1.0  # (n_t, n_d)
+    acf0 = acf[0].copy()
+    # mean_w(acf_w / acf0_w) as one weighted contraction — avoids materializing
+    # the normalized (n_t, n_w, n_d) array (a 120 MB write at production scale).
+    inv0 = (1.0 / np.where(acf0 == 0.0, 1.0, acf0)) / n_w
+    mean_acf = np.einsum("twd,wd->td", acf, inv0, optimize=True)
+    taus_all = 2.0 * np.cumsum(mean_acf.astype(np.float64), axis=0) - 1.0  # (n_t, n_d)
     for d in range(n_d):
         tau_est[d] = taus_all[_auto_window(taus_all[:, d], c), d]
 

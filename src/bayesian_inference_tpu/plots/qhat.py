@@ -14,7 +14,6 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 from bayesian_inference_tpu.io import hdf5
-from bayesian_inference_tpu.mcmc import stats
 from bayesian_inference_tpu.physics import generate_prior_samples, qhat
 from bayesian_inference_tpu.plots.utils import ensure_plot_dir
 

@@ -131,6 +131,7 @@ def test_centrality_and_sqrts_filters(tmp_path):
     assert not obs["Data"]
 
 
+@pytest.mark.slow
 def test_input_data_pairplot_correlations(tmp_path):
     """Per-bin pair-correlation grids with OLS + RMS outlier identification
     across all three grouping modes (reference plot_input_data.py:53-147,
