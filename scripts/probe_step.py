@@ -1,0 +1,77 @@
+"""One-off probe: decompose per-step sampler cost on the TPU.
+
+Times 5000-step scans of the stretch move with three likelihood variants:
+full (gp_eval + fused kernel), kernel-only (constant z,v), and gp_eval-only.
+"""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO / "src"))
+
+import jax
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import logging; logging.basicConfig(level=logging.WARNING)
+import numpy as np, yaml
+import jax.numpy as jnp
+
+from bayesian_inference_tpu.io import observables as obs_io
+from bayesian_inference_tpu.mcmc.likelihood import build_likelihood
+from bayesian_inference_tpu.mcmc.stretch import init_state, run_chunk
+from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike
+from bayesian_inference_tpu.pipeline.configs import EmulationConfig
+
+workdir = REPO / "output" / "bench_run"
+cfg = yaml.safe_load((workdir / "bench.yaml").read_text())
+emu_config = EmulationConfig.from_config_file(
+    analysis_name="bench", parameterization="exponential",
+    config_file=str(workdir / "bench.yaml"), analysis_config=cfg["analyses"]["bench"],
+)
+results = emu_config.read_all_emulator_groups()
+spec = cfg["analyses"]["bench"]["parameterization"]["exponential"]
+exp = obs_io.data_array_from_h5(
+    str(workdir / "output" / "bench_exponential"), "observables.h5",
+    observable_filter=emu_config.observable_filter,
+)
+like = build_likelihood(emu_config, results, exp,
+                        theta_min=np.asarray(spec["min"], float),
+                        theta_max=np.asarray(spec["max"], float), mode="block")
+dt = like.theta_min.dtype
+W = 100
+key = jax.random.key(0)
+x0 = jax.random.uniform(key, (W, 6), minval=like.theta_min, maxval=like.theta_max, dtype=dt)
+
+z_const, v_const = like.gp_eval(x0)  # (W, 41) fixed operands for kernel-only
+
+
+def lp_full(x):
+    return like.log_posterior(x)
+
+
+def lp_kernel_only(x):
+    # same kernel work, but z/v taken from x's first column mixed with consts
+    # (keeps a data dependence on x so the scan can't hoist the kernel call)
+    z = z_const[: x.shape[0]] + x[:, :1] * 0.0
+    v = v_const[: x.shape[0]]
+    return fused_block_mvn_loglike(like.U, like.D, like.d0, z, v)
+
+
+def lp_gp_only(x):
+    z, v = like.gp_eval(x)
+    return jnp.sum(z, axis=-1) - jnp.sum(v, axis=-1)
+
+
+N = 5000
+for tag, fn in [("full", lp_full), ("kernel-only", lp_kernel_only), ("gp-only", lp_gp_only)]:
+    st = init_state(key, fn, x0)
+    st, ys = run_chunk(st, fn, N)
+    np.asarray(ys[2])  # materialize (first call: compile+exec)
+    t0 = time.perf_counter()
+    st, ys = run_chunk(st, fn, N)
+    np.asarray(ys[2])
+    dtw = time.perf_counter() - t0
+    print(f"{tag}: {N} steps in {dtw:.2f}s ({dtw/N*1e6:.0f} us/step)", file=sys.stderr)

@@ -332,3 +332,33 @@ def test_integrated_time_per_walker_matches_single_walker():
     # theoretical tau for AR(1): (1+rho)/(1-rho) = 19
     assert 10 < tau_pw[0, 0] < 30
     assert reliable.all()
+
+
+def test_acceptance_cadence_logging(caplog):
+    """_log_acceptance_cadence emits the reference's cumulative-mean lines at
+    exact n_logging_steps boundaries, across chunked traces with offsets."""
+    import logging as _logging
+    import types
+
+    from bayesian_inference_tpu.mcmc.runner import _log_acceptance_cadence
+
+    cfg = types.SimpleNamespace(n_logging_steps=10, n_sampling_steps=50)
+    trace = np.linspace(0.1, 0.5, 50)
+
+    with caplog.at_level(_logging.INFO, logger="bayesian_inference_tpu.mcmc.runner"):
+        _log_acceptance_cadence(cfg, trace)
+    msgs = [r.message for r in caplog.records]
+    assert len(msgs) == 5
+    for j, m in enumerate(msgs):
+        step = 10 * (j + 1)
+        assert m.startswith(f"MCMC step {step}/50:")
+        expect = trace[:step].mean()
+        assert f"{expect:.3f}" in m
+
+    # chunked dispatch: same lines from two chunks with offset/prior_sum
+    caplog.clear()
+    with caplog.at_level(_logging.INFO, logger="bayesian_inference_tpu.mcmc.runner"):
+        _log_acceptance_cadence(cfg, trace[:23])
+        _log_acceptance_cadence(cfg, trace[23:], offset=23, prior_sum=float(trace[:23].sum()))
+    msgs2 = [r.message for r in caplog.records]
+    assert msgs2 == msgs
