@@ -362,3 +362,20 @@ def test_acceptance_cadence_logging(caplog):
         _log_acceptance_cadence(cfg, trace[23:], offset=23, prior_sum=float(trace[:23].sum()))
     msgs2 = [r.message for r in caplog.records]
     assert msgs2 == msgs
+
+
+def test_run_mcmc_lowrank_mode(likelihood_setup):
+    """Full runner in 'lowrank' likelihood mode (Woodbury path): no operand
+    AOT programs exist for it, so this exercises the jit-closure fallback."""
+    from bayesian_inference_tpu.mcmc.runner import run_mcmc
+    from bayesian_inference_tpu.pipeline.configs import MCMCConfig
+
+    *_, config_path, analysis_name, analysis_config = likelihood_setup
+    cfg = MCMCConfig(
+        analysis_name=analysis_name, parameterization="exponential",
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+    out = run_mcmc(cfg, seed=5, mode="lowrank")
+    assert out["chain"].shape[0] == cfg.n_sampling_steps
+    assert np.isfinite(out["log_prob"]).all()
+    assert 0.0 < np.mean(out["acceptance_fraction"]) < 1.0
