@@ -225,7 +225,14 @@ def run_mcmc(
     except stats.AutocorrError as e:
         output_dict["autocorrelation_time"] = None
         logger.info(f"Could not compute autocorrelation time: {e}")
-    logger.info(f"autocorrelation estimate: {_time.perf_counter() - _t:.2f}s")
+    # Split-chain R-hat: convergence check complementary to tau (neither the
+    # reference nor emcee reports it; values near 1 = converged halves).
+    rhat = stats.split_rhat(chain)
+    output_dict["split_rhat"] = rhat
+    logger.info(
+        f"autocorrelation estimate: {_time.perf_counter() - _t:.2f}s; "
+        f"split-Rhat max {rhat.max():.4f}"
+    )
 
     if closure_index >= 0:
         design_point = obs_io.design_array_from_h5(
@@ -439,6 +446,7 @@ def run_closure_batch(
         except stats.AutocorrError as e:
             out_p["autocorrelation_time"] = None
             logger.info(f"closure point {i}: no autocorrelation time: {e}")
+        out_p["split_rhat"] = stats.split_rhat(chain[:, p])
         cfg_i = MCMCConfig(
             analysis_name=config.analysis_name,
             parameterization=config.parameterization,

@@ -69,6 +69,33 @@ def _auto_window(taus: npt.NDArray, c: float) -> int:
     return len(taus) - 1
 
 
+def split_rhat(chain: npt.NDArray) -> npt.NDArray:
+    """Split-chain Gelman-Rubin potential-scale-reduction factor per parameter.
+
+    Neither the reference nor emcee reports R-hat; it is the standard
+    complementary convergence check to the integrated autocorrelation time
+    (Gelman et al., BDA3 eq. 11.4: each walker's chain is split in half, and
+    between- vs within-half variances are compared). Values near 1 indicate
+    the halves are indistinguishable; > ~1.01-1.1 flags non-convergence.
+
+    ``chain``: (n_steps, n_walkers, ndim). Returns (ndim,).
+    """
+    chain = np.asarray(chain, np.float64)
+    if chain.ndim == 2:
+        chain = chain[:, :, None]
+    n_t = chain.shape[0] - (chain.shape[0] % 2)
+    half = n_t // 2
+    # (m sub-chains, half steps, ndim): each walker contributes two halves
+    sub = np.concatenate([chain[:half], chain[half:n_t]], axis=1).transpose(1, 0, 2)
+    m, n, d = sub.shape
+    means = sub.mean(axis=1)                              # (m, d)
+    variances = sub.var(axis=1, ddof=1)                   # (m, d)
+    W = variances.mean(axis=0)
+    B_over_n = means.var(axis=0, ddof=1)                  # = B / n
+    var_plus = (n - 1) / n * W + B_over_n
+    return np.sqrt(var_plus / np.where(W > 0, W, np.inf))
+
+
 def warm_fft_plans(n_t: int) -> None:
     """Precompute pocketfft plans for the integrated_time transform length.
 

@@ -379,3 +379,39 @@ def test_run_mcmc_lowrank_mode(likelihood_setup):
     assert out["chain"].shape[0] == cfg.n_sampling_steps
     assert np.isfinite(out["log_prob"]).all()
     assert 0.0 < np.mean(out["acceptance_fraction"]) < 1.0
+
+
+def test_split_rhat():
+    """Converged chains give R-hat ~ 1; walkers stuck in different modes do not."""
+    rng = np.random.default_rng(0)
+    n_t, n_w = 4000, 16
+    # stationary AR(1), all walkers sampling the same distribution
+    x = rng.standard_normal((n_t, n_w, 2))
+    for t in range(1, n_t):
+        x[t] = 0.6 * x[t - 1] + np.sqrt(1 - 0.36) * x[t]
+    r = stats.split_rhat(x)
+    assert r.shape == (2,)
+    assert np.all(r < 1.02), r
+
+    # non-converged: half the walkers offset by a large constant
+    y = x.copy()
+    y[:, : n_w // 2, 0] += 10.0
+    r_bad = stats.split_rhat(y)
+    assert r_bad[0] > 1.5, r_bad
+    assert r_bad[1] < 1.02
+
+
+def test_runner_reports_split_rhat(likelihood_setup):
+    from bayesian_inference_tpu.mcmc.runner import run_mcmc
+    from bayesian_inference_tpu.pipeline.configs import MCMCConfig
+
+    *_, config_path, analysis_name, analysis_config = likelihood_setup
+    cfg = MCMCConfig(
+        analysis_name=analysis_name, parameterization="exponential",
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+    out = run_mcmc(cfg, seed=8)
+    assert out["split_rhat"].shape == (6,)
+    assert np.all(np.isfinite(out["split_rhat"]))
+    stored = io.read_dict_from_h5(cfg.mcmc_output_dir, "mcmc.h5", verbose=False)
+    np.testing.assert_allclose(stored["split_rhat"], out["split_rhat"])
