@@ -80,16 +80,19 @@ def split_rhat(chain: npt.NDArray) -> npt.NDArray:
 
     ``chain``: (n_steps, n_walkers, ndim). Returns (ndim,).
     """
-    chain = np.asarray(chain, np.float64)
+    chain = np.asarray(chain)
     if chain.ndim == 2:
         chain = chain[:, :, None]
     n_t = chain.shape[0] - (chain.shape[0] % 2)
     half = n_t // 2
-    # (m sub-chains, half steps, ndim): each walker contributes two halves
+    # (m sub-chains, half steps, ndim): each walker contributes two halves.
+    # Accumulate statistics in float64 without copying the (possibly float32)
+    # chain — the moment reductions are the only precision-sensitive part.
     sub = np.concatenate([chain[:half], chain[half:n_t]], axis=1).transpose(1, 0, 2)
     m, n, d = sub.shape
-    means = sub.mean(axis=1)                              # (m, d)
-    variances = sub.var(axis=1, ddof=1)                   # (m, d)
+    means = sub.mean(axis=1, dtype=np.float64)            # (m, d)
+    delta = sub - means[:, None, :].astype(sub.dtype)
+    variances = (delta.astype(np.float64) ** 2).sum(axis=1) / (n - 1)
     W = variances.mean(axis=0)
     B_over_n = means.var(axis=0, ddof=1)                  # = B / n
     var_plus = (n - 1) / n * W + B_over_n
