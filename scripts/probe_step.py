@@ -57,7 +57,11 @@ def lp_kernel_only(x):
     # (keeps a data dependence on x so the scan can't hoist the kernel call)
     z = z_const[: x.shape[0]] + x[:, :1] * 0.0
     v = v_const[: x.shape[0]]
-    return fused_block_mvn_loglike(like.U, like.D, like.d0, z, v)
+    ll = None
+    for U_b, D_b, d0_b in zip(like.U, like.D, like.d0):
+        term = fused_block_mvn_loglike(U_b, D_b, d0_b, z, v)
+        ll = term if ll is None else ll + term
+    return ll
 
 
 def lp_gp_only(x):

@@ -9,9 +9,12 @@ Two likelihood structures:
 * ``block`` (default — bit-parity with the reference pipeline): the merged
   emulator covariance is block-diagonal per observable (see models/emulator.py
   merge notes), so the likelihood decomposes into a sum of small independent
-  MVN terms. We pad observable blocks to a common size and run ONE batched
-  Cholesky over (n_walkers, n_observables, n_b, n_b). At production shapes
-  this is ~50x fewer flops than the reference's dense n_features^3 factorize.
+  MVN terms. Observable blocks are grouped into SIZE BUCKETS (padded width a
+  multiple of 8) and each bucket runs one batched Cholesky over
+  (n_walkers, n_obs_bucket, nb, nb). At production shapes this is ~50x fewer
+  flops than the reference's dense n_features^3 factorize, and the bucketing
+  keeps the per-block Cholesky cost at sum_b count_b*nb_b^3 instead of
+  n_obs*max_nb^3 (bin counts span ~4-25, so global padding would waste ~10x).
 
 * ``lowrank`` (opt-in improvement): keeps the full PCA-induced cross-observable
   covariance C(theta) = D + U diag(v(theta)) U^T via the exact Woodbury
@@ -44,6 +47,55 @@ class GroupGPs:
     posts: gp_mod.GPPosterior  # stacked over the group's PCs
 
 
+def bucket_layout(widths: Sequence[int]) -> list[tuple[int, list[int]]]:
+    """Group observable blocks by padded width (multiples of 8, min 8).
+
+    Padding every block to the GLOBAL max width makes the fused Cholesky pay
+    O(max_nb^3) per observable; with production bin counts spanning ~4-25 that
+    wastes ~10x of the kernel work. Buckets keep the padding local (cost
+    sum_b count_b * nb_b^3) while each bucket still runs as one batched
+    kernel. Returns [(nb_pad, [observable indices])] in ascending nb_pad — a
+    pure function of the bin widths, so every tensor builder
+    (build_likelihood, pad_residual_offsets, __graft_entry__) derives the
+    identical layout.
+    """
+    buckets: dict[int, list[int]] = {}
+    for i, w in enumerate(widths):
+        nb = max(8, ((int(w) + 7) // 8) * 8)
+        buckets.setdefault(nb, []).append(i)
+    return sorted(buckets.items())
+
+
+def bucketize_blocks(
+    U_rows: Sequence[np.ndarray],
+    D_rows: Sequence[np.ndarray],
+    d0_rows: Sequence[np.ndarray],
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+    """Stack per-observable (w,k)/(w,w)/(w,) blocks into bucketed padded tensors.
+
+    Padded rows get identity covariance and zero residual (contribute exactly
+    0 to the log-likelihood). Returns three lists aligned with
+    ``bucket_layout`` order: U (n_obs_b, nb, k), D (n_obs_b, nb, nb),
+    d0 (n_obs_b, nb).
+    """
+    widths = [u.shape[0] for u in U_rows]
+    k = U_rows[0].shape[1]
+    Us, Ds, d0s = [], [], []
+    for nb, idxs in bucket_layout(widths):
+        U_pad = np.zeros((len(idxs), nb, k))
+        D_pad = np.tile(np.eye(nb), (len(idxs), 1, 1))
+        d0_pad = np.zeros((len(idxs), nb))
+        for r, i in enumerate(idxs):
+            w = widths[i]
+            U_pad[r, :w] = U_rows[i]
+            D_pad[r, :w, :w] = D_rows[i]
+            d0_pad[r, :w] = d0_rows[i]
+        Us.append(U_pad)
+        Ds.append(D_pad)
+        d0s.append(d0_pad)
+    return Us, Ds, d0s
+
+
 @struct.dataclass
 class EmulatorLikelihood:
     """Precomputed state for the jitted log-posterior. mode is static."""
@@ -51,10 +103,10 @@ class EmulatorLikelihood:
     groups: tuple[GroupGPs, ...]
     theta_min: jax.Array  # (d,)
     theta_max: jax.Array  # (d,)
-    # block mode tensors (padded per observable)
-    U: jax.Array   # (n_obs, n_b, k_total)
-    D: jax.Array   # (n_obs, n_b, n_b)  constant covariance part (+ data errors, padded diag=1)
-    d0: jax.Array  # (n_obs, n_b)      constant residual offset (m0 - y), padded 0
+    # block mode tensors: one entry per size bucket (see bucket_layout)
+    U: tuple[jax.Array, ...]   # each (n_obs_b, nb, k_total)
+    D: tuple[jax.Array, ...]   # each (n_obs_b, nb, nb) constant covariance (+ data errors, padded diag=1)
+    d0: tuple[jax.Array, ...]  # each (n_obs_b, nb)     constant residual offset (m0 - y), padded 0
     # lowrank mode tensors
     wb: WoodburyNormal | None
     mode: str = struct.field(pytree_node=False, default="block")
@@ -74,9 +126,14 @@ class EmulatorLikelihood:
         if self.mode == "block":
             from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike
 
-            # One kernel does residual + covariance assembly + Cholesky +
-            # loglike in VMEM — no (W, n_obs, nb, nb) tensor ever hits HBM.
-            return fused_block_mvn_loglike(self.U, self.D, self.d0, z, v)
+            # One kernel per size bucket does residual + covariance assembly +
+            # Cholesky + loglike in VMEM — no (W, n_obs, nb, nb) tensor ever
+            # hits HBM.
+            ll = None
+            for U_b, D_b, d0_b in zip(self.U, self.D, self.d0):
+                term = fused_block_mvn_loglike(U_b, D_b, d0_b, z, v)
+                ll = term if ll is None else ll + term
+            return ll
         if self.mode == "lowrank":
             return woodbury_loglike(self.wb, z, v)
         raise ValueError(f"unknown likelihood mode {self.mode}")
@@ -105,12 +162,13 @@ def pad_residual_offsets(
     emulation_config,
     emulation_results: dict[str, dict[str, Any]],
     y_batch: np.ndarray,
-) -> np.ndarray:
-    """Padded residual offsets d0 = m0 - y for a batch of data vectors.
+) -> tuple[np.ndarray, ...]:
+    """Bucketed padded residual offsets d0 = m0 - y for a batch of data vectors.
 
-    ``y_batch`` is (P, n_features); returns (P, n_obs, n_b) laid out exactly
-    like EmulatorLikelihood.d0 (same numpy ops as build_likelihood, so a
-    batched closure run is bit-identical to P sequential builds).
+    ``y_batch`` is (P, n_features); returns a tuple of (P, n_obs_b, nb) arrays
+    laid out exactly like EmulatorLikelihood.d0 (same bucket_layout and numpy
+    ops as build_likelihood, so a batched closure run is bit-identical to P
+    sequential builds).
     """
     slice_map = emulator_mod.GroupSliceMap.learn(emulation_config)
     y_batch = np.atleast_2d(np.asarray(y_batch, float))
@@ -120,13 +178,18 @@ def pad_residual_offsets(
         name: np.asarray(emulation_results[name]["PCA"]["mean"])
         for name in emulation_config.emulation_groups_config
     }
-    n_b = max(e[2].stop - e[2].start for e in slice_map.entries)
+    widths = [e[2].stop - e[2].start for e in slice_map.entries]
     P = y_batch.shape[0]
-    d0_pad = np.zeros((P, len(slice_map.entries), n_b))
-    for i, (_label, gname, g_slice, grp_slice) in enumerate(slice_map.entries):
-        w = g_slice.stop - g_slice.start
-        d0_pad[:, i, :w] = m0_group[gname][grp_slice][None, :] - y_batch[:, g_slice]
-    return d0_pad
+    out = []
+    for nb, idxs in bucket_layout(widths):
+        d0_pad = np.zeros((P, len(idxs), nb))
+        for r, i in enumerate(idxs):
+            _label, gname, g_slice, grp_slice = slice_map.entries[i]
+            d0_pad[:, r, : widths[i]] = (
+                m0_group[gname][grp_slice][None, :] - y_batch[:, g_slice]
+            )
+        out.append(d0_pad)
+    return tuple(out)
 
 
 def build_likelihood(
@@ -189,18 +252,17 @@ def build_likelihood(
         offsets[name] = k_total
         k_total += n_pc
 
-    # ---- block-mode padded tensors -------------------------------------------------
-    n_b = max(e[2].stop - e[2].start for e in slice_map.entries)
-    n_obs = len(slice_map.entries)
-    U_pad = np.zeros((n_obs, n_b, k_total))
-    D_pad = np.tile(np.eye(n_b), (n_obs, 1, 1))
-    d0_pad = np.zeros((n_obs, n_b))
-    for i, (label, gname, g_slice, grp_slice) in enumerate(slice_map.entries):
+    # ---- block-mode bucketed padded tensors ---------------------------------------
+    U_rows, D_rows, d0_rows = [], [], []
+    for label, gname, g_slice, grp_slice in slice_map.entries:
         w = g_slice.stop - g_slice.start
         off, k_g = offsets[gname], U_group[gname].shape[1]
-        U_pad[i, :w, off : off + k_g] = U_group[gname][grp_slice]
-        D_pad[i, :w, :w] = sigma_group[gname][grp_slice, grp_slice] + np.diag(y_err[g_slice] ** 2)
-        d0_pad[i, :w] = m0_group[gname][grp_slice] - y[g_slice]
+        U_i = np.zeros((w, k_total))
+        U_i[:, off : off + k_g] = U_group[gname][grp_slice]
+        U_rows.append(U_i)
+        D_rows.append(sigma_group[gname][grp_slice, grp_slice] + np.diag(y_err[g_slice] ** 2))
+        d0_rows.append(m0_group[gname][grp_slice] - y[g_slice])
+    U_bkts, D_bkts, d0_bkts = bucketize_blocks(U_rows, D_rows, d0_rows)
 
     # ---- lowrank-mode global tensors ---------------------------------------------
     wb = None
@@ -245,9 +307,9 @@ def build_likelihood(
         groups=tuple(groups),
         theta_min=to_device(theta_min),
         theta_max=to_device(theta_max),
-        U=to_device(U_pad),
-        D=to_device(D_pad),
-        d0=to_device(d0_pad),
+        U=tuple(to_device(u) for u in U_bkts),
+        D=tuple(to_device(d) for d in D_bkts),
+        d0=tuple(to_device(d) for d in d0_bkts),
         wb=wb,
         mode=mode,
     )

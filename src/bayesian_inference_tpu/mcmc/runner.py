@@ -339,13 +339,15 @@ def run_closure_batch(
     y_batch = np.stack([p["y"] for p in pseudodata])
     d0_np = pad_residual_offsets(emulation_config, emulation_results, y_batch)
     if n_pad:
-        d0_np = np.concatenate([d0_np, np.repeat(d0_np[-1:], n_pad, axis=0)], axis=0)
-    d0_batch = jax.device_put(np.asarray(d0_np, np.dtype(str(dt))))
+        d0_np = tuple(
+            np.concatenate([d, np.repeat(d[-1:], n_pad, axis=0)], axis=0) for d in d0_np
+        )
+    d0_batch = tuple(jax.device_put(np.asarray(d, np.dtype(str(dt)))) for d in d0_np)
     fn = _logp_with_d0
 
     from bayesian_inference_tpu.parallel.mesh import shard_leading_axis
 
-    d0_batch = shard_leading_axis(d0_batch, mesh)
+    d0_batch = jax.tree.map(lambda a: shard_leading_axis(a, mesh), d0_batch)
 
     # Key derivation mirrors run_mcmc per point: key(seed+i) -> split chain.
     key_ids = [seed + i for i in closure_indices] + [seed + closure_indices[-1]] * n_pad

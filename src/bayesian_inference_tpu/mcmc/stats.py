@@ -133,25 +133,8 @@ def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet
     if chain.ndim == 2:
         chain = chain[:, :, None]
     n_t, n_w, n_d = chain.shape
+    taus_all = _mean_acf_taus(chain.reshape(n_t, 1, n_w, n_d))[:, 0, :]  # (n_t, n_d)
     tau_est = np.empty(n_d)
-    # ONE batched real FFT over all (walker, parameter) series, in the chain's
-    # own precision: scipy.fft keeps float32 single-precision (~4x cheaper than
-    # numpy's always-double complex transform) and parallelizes the batch
-    # across cores via ``workers``. Padding to next_fast_len(2*n_t - 1) keeps
-    # the linear autocorrelation exact (any pad >= 2*n_t - 1 does) with ~25%
-    # fewer points than emcee's 2*next_pow_two(n_t).
-    nfft = sfft.next_fast_len(2 * n_t - 1, real=True)
-    x = (chain - chain.mean(axis=0)).reshape(n_t, n_w * n_d)
-    workers = os.cpu_count() or 1
-    f = sfft.rfft(x, n=nfft, axis=0, workers=workers)
-    np.multiply(f, np.conjugate(f), out=f)
-    acf = sfft.irfft(f, n=nfft, axis=0, workers=workers)[:n_t].reshape(n_t, n_w, n_d)
-    acf0 = acf[0].copy()
-    # mean_w(acf_w / acf0_w) as one weighted contraction — avoids materializing
-    # the normalized (n_t, n_w, n_d) array (a 120 MB write at production scale).
-    inv0 = (1.0 / np.where(acf0 == 0.0, 1.0, acf0)) / n_w
-    mean_acf = np.einsum("twd,wd->td", acf, inv0, optimize=True)
-    taus_all = 2.0 * np.cumsum(mean_acf.astype(np.float64), axis=0) - 1.0  # (n_t, n_d)
     for d in range(n_d):
         tau_est[d] = taus_all[_auto_window(taus_all[:, d], c), d]
 
@@ -164,6 +147,79 @@ def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet
         if not quiet:
             raise AutocorrError(msg)
     return tau_est
+
+
+def _mean_acf_taus(chain: npt.NDArray, col_chunk: int = 4096) -> npt.NDArray:
+    """Cumulative tau estimates 2*cumsum(mean_acf)-1 of shape (n_t, P, n_d).
+
+    ``chain`` is (n_t, P, n_w, n_d): P independent chain batches (closure
+    points), walker-averaged per (point, parameter) exactly as emcee does.
+
+    Scaling each centered series by 1/sqrt(sum dx^2) makes its ACF zero-lag
+    exactly 1, so mean_w(acf_w / acf0_w) == irfft(mean_w |rfft(dx_w/s_w)|^2):
+    the walker average happens on the POWER SPECTRA and the inverse transform
+    runs over only P*n_d series instead of P*n_w*n_d (~100x less inverse-FFT
+    work than transforming every walker back). Forward transforms are
+    processed ``col_chunk`` series at a time to bound the transient complex
+    buffer (production closure batches would otherwise materialize GBs).
+    Padding to next_fast_len(2*n_t - 1) keeps the linear autocorrelation exact
+    (any pad >= 2*n_t - 1 does) with ~25% fewer points than emcee's
+    2*next_pow_two(n_t).
+    """
+    from scipy import fft as sfft
+
+    import os
+
+    n_t, P, n_w, n_d = chain.shape
+    workers = os.cpu_count() or 1
+    nfft = sfft.next_fast_len(2 * n_t - 1, real=True)
+    x = (chain - chain.mean(axis=0)).reshape(n_t, P * n_w * n_d)
+    norm = np.sqrt(np.einsum("tj,tj->j", x, x))
+    x *= 1.0 / np.where(norm == 0.0, 1.0, norm)
+
+    n_series = P * n_w * n_d
+    power = np.zeros((nfft // 2 + 1, P, n_d), np.float64)
+    # Column-chunked forward FFT, accumulating the walker-mean power spectrum.
+    for j0 in range(0, n_series, col_chunk):
+        f = sfft.rfft(x[:, j0 : j0 + col_chunk], n=nfft, axis=0, workers=workers)
+        pw = (f.real.astype(np.float64) ** 2 + f.imag.astype(np.float64) ** 2)
+        # map flat series index -> (P, n_w, n_d); sum walkers into (P, n_d)
+        idx = np.arange(j0, j0 + pw.shape[1])
+        p_idx = idx // (n_w * n_d)
+        d_idx = idx % n_d
+        np.add.at(power.transpose(1, 2, 0), (p_idx, d_idx), pw.T)
+    power /= n_w
+    # The inverse transform runs in the chain's own precision: float32 chains
+    # (TPU downloads) keep the cheap single-precision irfft; float64 chains
+    # preserve the accuracy the per-walker estimator delivers.
+    mean_acf = sfft.irfft(
+        power.reshape(-1, P * n_d).astype(chain.dtype), n=nfft, axis=0, workers=workers
+    )[:n_t]
+    return 2.0 * np.cumsum(mean_acf.astype(np.float64), axis=0).reshape(n_t, P, n_d) - 1.0
+
+
+def integrated_time_batched(
+    chain: npt.NDArray, c: float = 5.0, tol: float = 50.0
+) -> tuple[npt.NDArray, npt.NDArray]:
+    """Integrated autocorrelation time for a batch of independent chains.
+
+    ``chain``: (n_t, P, n_w, n_d) — P closure points' chains diagnosed in ONE
+    batched FFT pass (the reference loops emcee's estimator point by point,
+    steer_analysis.py:174-181 -> mcmc.py:110-119). Returns (tau (P, n_d),
+    reliable (P, n_d) bool mask — False where the chain is shorter than
+    ``tol`` tau, matching the AutocorrError condition of ``integrated_time``).
+    """
+    chain = np.asarray(chain)
+    if not np.issubdtype(chain.dtype, np.floating):
+        chain = chain.astype(np.float64)
+    n_t, P, n_w, n_d = chain.shape
+    taus_all = _mean_acf_taus(chain)  # (n_t, P, n_d)
+    flat = taus_all.reshape(n_t, P * n_d)
+    m = np.arange(n_t)[:, None] < c * flat
+    win = np.where(m.any(axis=0), np.argmin(m, axis=0), n_t - 1)
+    tau = flat[win, np.arange(flat.shape[1])].reshape(P, n_d)
+    reliable = tol * tau <= n_t
+    return tau, reliable
 
 
 def integrated_time_per_walker(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0) -> tuple[npt.NDArray, npt.NDArray]:

@@ -74,8 +74,8 @@ def test_single_bin_observable_pipeline(tmp_path):
     pspec = analysis_config["parameterization"][param]
     like = build_likelihood(emu_config, results, exp,
                             theta_min=pspec["min"], theta_max=pspec["max"])
-    # block padding: single-bin block padded to the max block width
-    assert like.D.shape[1] == 7
+    # bucketized block padding: widths 1/7/4 all round up to one nb=8 bucket
+    assert len(like.D) == 1 and like.D[0].shape == (3, 8, 8)
 
     x0 = np.random.default_rng(1).uniform(
         np.asarray(pspec["min"]) + 1e-3, np.asarray(pspec["max"]) - 1e-3, (8, 6)
