@@ -168,13 +168,16 @@ def run_mcmc(
             return {"chain": ys[0], "log_prob": ys[1], "coords": state.coords}
         return run_ensemble(k, log_prob_fn, x_start, n_steps)
 
+    timings: dict[str, float] = {}
+
     # --- burn-in phase 1 -------------------------------------------------------
     logger.info(f"Burn-in phase 1: {config.n_walkers} walkers x {nburn0} steps")
     _t = _time.perf_counter()
     key, k1 = jax.random.split(key)
     out1 = _run_phase(k1, x0, nburn0)
     jax.block_until_ready(out1["coords"])
-    logger.info(f"burn-1 dispatch+exec: {_time.perf_counter() - _t:.2f}s")
+    timings["burn"] = _time.perf_counter() - _t
+    logger.info(f"burn-1 dispatch+exec: {timings['burn']:.2f}s")
 
     # --- reposition walkers at top-likelihood points (host, reference parity) ---
     x_top = resample_walkers_to_top_positions(
@@ -186,6 +189,7 @@ def run_mcmc(
     key, k2 = jax.random.split(key)
     out2 = _run_phase(k2, jax.device_put(np.asarray(x_top, np_dt)), nburn1)
     jax.block_until_ready(out2["coords"])
+    timings["burn"] += _time.perf_counter() - _t
     logger.info(f"burn-2 dispatch+exec: {_time.perf_counter() - _t:.2f}s")
 
     # --- production -------------------------------------------------------------
@@ -204,7 +208,8 @@ def run_mcmc(
         programs=programs,
         like=like,
     )
-    logger.info(f"production exec+download: {_time.perf_counter() - _t:.2f}s")
+    timings["production"] = _time.perf_counter() - _t
+    logger.info(f"production exec+download: {timings['production']:.2f}s")
 
     chain = np.asarray(out3["chain"])
     log_prob = np.asarray(out3["log_prob"])
@@ -229,8 +234,9 @@ def run_mcmc(
     # reference nor emcee reports it; values near 1 = converged halves).
     rhat = stats.split_rhat(chain)
     output_dict["split_rhat"] = rhat
+    timings["autocorr"] = _time.perf_counter() - _t
     logger.info(
-        f"autocorrelation estimate: {_time.perf_counter() - _t:.2f}s; "
+        f"autocorrelation estimate: {timings['autocorr']:.2f}s; "
         f"split-Rhat max {rhat.max():.4f}"
     )
 
@@ -241,7 +247,9 @@ def run_mcmc(
         output_dict["design_point"] = design_point
         output_dict["experimental_pseudodata"] = experimental_results
 
+    _t = _time.perf_counter()
     hdf5.write_dict_to_h5(output_dict, config.mcmc_output_dir, "mcmc.h5", verbose=True)
+    timings["write"] = _time.perf_counter() - _t
 
     sampler_state = {
         "final_coords": np.asarray(out3["coords"]),
@@ -255,6 +263,10 @@ def run_mcmc(
     with open(config.sampler_outputfile, "wb") as f:
         pickle.dump(sampler_state, f)
 
+    # Per-phase wall-clock (burn / production / autocorr / write) for callers
+    # that report perf breakdowns; added AFTER the h5 write so the mcmc.h5
+    # schema stays reference-identical.
+    output_dict["timings"] = timings
     return output_dict
 
 

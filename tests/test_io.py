@@ -150,3 +150,52 @@ def test_observable_panels_stat_titles_and_multishape(tmp_path):
     produced = sorted(p.name for p in tmp_path.glob("panels*.pdf"))
     # 16 observables / 4 panels per 2x2 figure = 4 figures
     assert produced == ["panels__0.pdf", "panels__1.pdf", "panels__2.pdf", "panels__3.pdf"]
+
+
+def test_synthetic_production_tables_ingest(tmp_path):
+    """io/synthetic.py writes a production-width table set that round-trips
+    through the real ingest path (io/tables.py) with the production groups."""
+    from bayesian_inference_tpu.io.synthetic import (
+        make_production_tables,
+        production_observable_labels,
+    )
+    from bayesian_inference_tpu.io.tables import initialize_observables_dict_from_tables
+
+    labels = make_production_tables(tmp_path, n_design=40, seed=3)
+    assert labels == production_observable_labels()
+
+    analysis_config = {
+        "sqrts_list": [200, 2760, 5020],
+        "centrality_range": [0, 10],
+        "validation_indices": [30, 40],
+        "design_points_to_exclude": [2, 7],
+        "parameters": {"emulators": {
+            "jet_group": {"observable_list": ["jet__pt_"]},
+            "groomed_group": {"observable_list": ["chjet__zg_", "chjet__tg_"]},
+            "Dz_group": {"observable_list": ["jet__Dz_"]},
+        }},
+    }
+    obs = initialize_observables_dict_from_tables(str(tmp_path), analysis_config, "exponential")
+
+    accepted = {
+        lbl for lbl in labels
+        if "__hadron__" not in lbl  # hadron tables exist but no group selects them
+    }
+    assert set(obs["Prediction"]) == accepted
+    n_features = sum(v["y"].shape[0] for v in obs["Prediction"].values())
+    assert n_features == sum(nb for lbl, nb in labels.items() if lbl in accepted)
+    assert n_features > 1500  # production width, not fixture width
+
+    # design ids 0..39 minus 3 missing (none in range for n_design=40? holes are
+    # 37,111,184 -> only 37 in range) minus exclusions {2,7} minus validation 30+
+    ids_train = obs["Design_indices"]
+    assert 2 not in ids_train and 7 not in ids_train and 37 not in ids_train
+    assert obs["Design"].shape[1] == 6
+    assert obs["Design"].shape[0] == len(ids_train)
+    assert all(i < 30 for i in ids_train)
+    assert all(30 <= i < 40 for i in obs["Design_indices_validation"])
+
+    # every prediction column count matches the training design count
+    for v in obs["Prediction"].values():
+        assert v["y"].shape[1] == obs["Design"].shape[0]
+        assert np.all(v["y"] > 0)
