@@ -172,3 +172,34 @@ def test_input_data_pairplot_correlations(tmp_path):
         annotate_design_points=True,
     )
     assert list(Path(tmp_path).glob("*observable_group_by_5__annotated__chunk_0.pdf"))
+
+
+def test_across_analyses_overlay_prior_band_and_labels(tmp_path):
+    """The cross-analysis qhat overlay draws the prior credible band once and
+    labels analyses with their physics names (reference plot_analyses.py:73-163,
+    plot_prior=True default and the hardcoded labels at :104-107)."""
+    from bayesian_inference_tpu.io import hdf5
+    from bayesian_inference_tpu.pipeline.configs import MCMCConfig, load_yaml
+    from bayesian_inference_tpu.plots import analyses as plot_analyses
+
+    config_path, name, param = make_analysis_yaml(tmp_path, analysis_name="analysis_jet")
+    cfg = load_yaml(config_path)
+    analyses = dict(cfg["analyses"])
+    # second analysis sharing the same chain artifacts under another name
+    analyses["analysis_jet_substructure"] = analyses[name]
+
+    rng = np.random.default_rng(0)
+    spec = analyses[name]["parameterization"][param]
+    chain = rng.uniform(spec["min"], spec["max"], (50, 8, 6))
+    for a_name in analyses:
+        mcmc_cfg = MCMCConfig(
+            analysis_name=a_name, parameterization=param,
+            analysis_config=analyses[a_name], config_file=str(config_path),
+        )
+        hdf5.write_dict_to_h5({"chain": chain}, mcmc_cfg.mcmc_output_dir, "mcmc.h5", verbose=False)
+
+    labels = plot_analyses.plot(analyses, str(config_path), cfg["output_dir"])
+    assert (Path(cfg["output_dir"]) / "qhat_across_analyses.pdf").exists()
+    assert labels[0].startswith("Prior 90% Credible Interval")
+    assert any(lab.startswith(r"Jet $R_{\mathrm{AA}}$: Posterior") for lab in labels)
+    assert any(lab.startswith(r"Jet $R_{\mathrm{AA}}$ + substructure: Posterior") for lab in labels)
