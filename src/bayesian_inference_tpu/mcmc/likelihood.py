@@ -145,17 +145,23 @@ class EmulatorLikelihood:
         ll = self.log_likelihood(theta_safe)
         return jnp.where(inside, ll, -jnp.inf)
 
-    def log_posterior_with_d0(self, d0: jax.Array, theta: jax.Array) -> jax.Array:
+    def log_posterior_with_d0(self, d0, theta: jax.Array) -> jax.Array:
         """log_posterior with the residual offset swapped for ``d0``.
 
         The closure-test batch (one pseudodata vector per validation point)
         differs ONLY in d0, so P independent closure MCMCs vmap over this
-        function inside one compiled sampler program (block mode only — the
-        lowrank Woodbury state bakes d0 into its precomputation).
+        function inside one compiled sampler program. ``d0`` is mode-shaped:
+        block mode takes the bucketed tuple layout of ``self.d0``; lowrank
+        mode takes a flat (n_features,) residual, from which the d0-dependent
+        Woodbury pieces (b, c0) rebuild against the cached d0-independent
+        factorization (ops/mvn.py::WoodburyNormal.with_d0) — the rebuild is
+        loop-invariant in the sampler scan, so XLA hoists it out of the chain.
         """
-        if self.mode != "block":
-            raise ValueError("batched-d0 evaluation requires likelihood mode 'block'")
-        return self.replace(d0=d0).log_posterior(theta)
+        if self.mode == "block":
+            return self.replace(d0=d0).log_posterior(theta)
+        if self.mode == "lowrank":
+            return self.replace(wb=self.wb.with_d0(d0)).log_posterior(theta)
+        raise ValueError(f"unknown likelihood mode {self.mode}")
 
 
 def pad_residual_offsets(
@@ -190,6 +196,30 @@ def pad_residual_offsets(
             )
         out.append(d0_pad)
     return tuple(out)
+
+
+def residual_offsets_flat(
+    emulation_config,
+    emulation_results: dict[str, dict[str, Any]],
+    y_batch: np.ndarray,
+) -> np.ndarray:
+    """Flat residual offsets d0 = m0 - y, shape (P, n_features).
+
+    Lowrank-mode analogue of ``pad_residual_offsets``: same slice-map entries
+    and numpy ops as build_likelihood's d0_full assembly, so a batched lowrank
+    closure run rebuilds bit-identical Woodbury (b, c0) per point.
+    """
+    slice_map = emulator_mod.GroupSliceMap.learn(emulation_config)
+    y_batch = np.atleast_2d(np.asarray(y_batch, float))
+    assert y_batch.shape[1] == slice_map.n_features
+    m0_group = {
+        name: np.asarray(emulation_results[name]["PCA"]["mean"])
+        for name in emulation_config.emulation_groups_config
+    }
+    d0 = np.zeros_like(y_batch)
+    for _label, gname, g_slice, grp_slice in slice_map.entries:
+        d0[:, g_slice] = m0_group[gname][grp_slice][None, :] - y_batch[:, g_slice]
+    return d0
 
 
 def build_likelihood(

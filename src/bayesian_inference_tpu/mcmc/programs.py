@@ -44,6 +44,19 @@ def logp_operand(like: EmulatorLikelihood, x: jax.Array) -> jax.Array:
     return like.log_posterior(x)
 
 
+def _sharded_logp_operand(mesh):
+    """Operand-style log-posterior with the walker batch partitioned over the
+    mesh (parallel/mesh.py semantics). Fresh closure per mesh — fine for the
+    AOT path, where cache identity comes from the lowered HLO, not the
+    Python callable."""
+    from bayesian_inference_tpu.parallel.mesh import make_sharded_log_prob
+
+    def logp(like: EmulatorLikelihood, x: jax.Array) -> jax.Array:
+        return make_sharded_log_prob(like.log_posterior, mesh)(x)
+
+    return logp
+
+
 # --------------------------------------------------------------------------------------
 # Shape spec without a fit
 # --------------------------------------------------------------------------------------
@@ -140,28 +153,54 @@ class SamplerPrograms:
         n_walkers: int,
         ndim: int,
         chunk_sizes: Sequence[int],
+        mesh=None,
     ):
-        self.like_spec = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), like_spec
-        )
+        """``mesh``: a jax.sharding.Mesh — the executables are lowered with
+        every INPUT replicated over the mesh and the walker batch partitioned
+        inside the program (same semantics as the jit-closure mesh path), so
+        multi-chip runs keep the value-independent persistent-cache keys."""
+        self.mesh = mesh
+        self._sharding = None
+        self._logp = logp_operand
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._sharding = NamedSharding(mesh, PartitionSpec())
+            self._logp = _sharded_logp_operand(mesh)
+
+        def _sds(shape, dtype):
+            if self._sharding is None:
+                return jax.ShapeDtypeStruct(shape, dtype)
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=self._sharding)
+
+        self.like_spec = jax.tree.map(lambda a: _sds(a.shape, a.dtype), like_spec)
         self.n_walkers = n_walkers
         self.ndim = ndim
         dt = self.like_spec.theta_min.dtype
         key_spec = jax.eval_shape(lambda: jax.random.key(0))
+        key_spec = _sds(key_spec.shape, key_spec.dtype)
         self._state_spec = EnsembleState(
-            coords=jax.ShapeDtypeStruct((n_walkers, ndim), dt),
-            log_prob=jax.ShapeDtypeStruct((n_walkers,), dt),
-            n_accepted=jax.ShapeDtypeStruct((n_walkers,), np.int32),
+            coords=_sds((n_walkers, ndim), dt),
+            log_prob=_sds((n_walkers,), dt),
+            n_accepted=_sds((n_walkers,), np.int32),
             key=key_spec,
         )
         self._key_spec = key_spec
-        self._x0_spec = jax.ShapeDtypeStruct((n_walkers, ndim), dt)
+        self._x0_spec = _sds((n_walkers, ndim), dt)
         self._chunk_sizes = sorted(set(int(n) for n in chunk_sizes if n > 0))
         self._init_exe = None
         self._chunk_exe: dict[int, Any] = {}
         self._lock = threading.Lock()
         self._done = threading.Event()
         self.error: Exception | None = None
+
+    def _place(self, tree):
+        """Commit a pytree to the executables' (replicated) input sharding.
+        No-op copies when already placed; required because AOT executables
+        reject inputs committed to a single device of a multi-device mesh."""
+        if self._sharding is None:
+            return tree
+        return jax.device_put(tree, self._sharding)
 
     # -- compilation -------------------------------------------------------------
     def compile(self) -> None:
@@ -171,13 +210,14 @@ class SamplerPrograms:
         try:
             t0 = _time.perf_counter()
             self._init_exe = init_state.lower(
-                self._key_spec, logp_operand, self._x0_spec, aux=self.like_spec
+                self._key_spec, self._logp, self._x0_spec, aux=self.like_spec
             ).compile()
             for n in self._chunk_sizes:
                 self._compile_chunk(n)
             logger.info(
-                f"sampler programs ready (init + scan{self._chunk_sizes}): "
-                f"{_time.perf_counter() - t0:.2f}s"
+                f"sampler programs ready (init + scan{self._chunk_sizes}"
+                + (f", {self.mesh.devices.size}-device mesh" if self.mesh is not None else "")
+                + f"): {_time.perf_counter() - t0:.2f}s"
             )
         except Exception as e:  # fall back to the jit path in the runner
             logger.warning(f"sampler AOT compile failed ({e!r}); jit fallback")
@@ -187,7 +227,7 @@ class SamplerPrograms:
 
     def _compile_chunk(self, n: int) -> None:
         self._chunk_exe[n] = run_chunk.lower(
-            self._state_spec, logp_operand, n, aux=self.like_spec
+            self._state_spec, self._logp, n, aux=self.like_spec
         ).compile()
 
     def compile_async(self) -> "SamplerPrograms":
@@ -201,6 +241,7 @@ class SamplerPrograms:
     # -- execution ---------------------------------------------------------------
     def init(self, key, like: EmulatorLikelihood, x0) -> EnsembleState:
         self._done.wait()
+        key, x0, like = self._place(key), self._place(x0), self._place(like)
         return self._init_exe(key, x0, aux=like)
 
     def chunk(self, state: EnsembleState, like: EmulatorLikelihood, n_steps: int):
@@ -211,6 +252,7 @@ class SamplerPrograms:
                 if n_steps not in self._chunk_exe:
                     logger.info(f"compiling sampler chunk program for {n_steps} steps")
                     self._compile_chunk(n_steps)
+        state, like = self._place(state), self._place(like)
         return self._chunk_exe[n_steps](state, aux=like)
 
 
@@ -238,6 +280,7 @@ def prewarm_sampler_programs(
     dtype=None,
     checkpoint_every: int | None = None,
     threaded: bool = False,
+    mesh=None,
 ) -> SamplerPrograms | None:
     """Compile the MCMC executables ahead of ``run_mcmc``.
 
@@ -280,6 +323,7 @@ def prewarm_sampler_programs(
         n_walkers=config.n_walkers,
         ndim=len(config.parameterization_spec()["names"]),
         chunk_sizes=chunk_sizes_for_config(config, checkpoint_every),
+        mesh=mesh,
     )
     if threaded:
         return programs.compile_async()

@@ -54,6 +54,11 @@ class WoodburyNormal:
 
       quad(z, v) = c0 + 2 b.z + z.G.z - (b + G z)^T (diag(1/v) + G)^{-1} (b + G z)
       logdet(v)  = 2*half_logdet_D + sum(log v) + logdet(diag(1/v) + G)
+
+    Only (b, c0, d0) depend on the data vector; (L_D, W, G, half_logdet_D) are
+    d0-independent, so ``with_d0`` rebuilds the likelihood for a new data
+    vector (closure pseudodata) without re-factorizing D — the identity the
+    batched closure runner vmaps over.
     """
 
     b: jax.Array             # (k,)    W^T e0
@@ -62,6 +67,15 @@ class WoodburyNormal:
     half_logdet_D: jax.Array # ()
     U: jax.Array             # (F, k)  kept for mean reconstruction / diagnostics
     d0: jax.Array            # (F,)    constant residual offset (m0 - y_data)
+    L_D: jax.Array           # (F, F)  Cholesky factor of the constant covariance
+    W: jax.Array             # (F, k)  L_D^{-1} U
+
+    def with_d0(self, d0: jax.Array) -> "WoodburyNormal":
+        """Rebuild the d0-dependent pieces (b, c0) from the cached factor —
+        identical formulas to build_woodbury, so a batched closure evaluation
+        is bit-exact with a sequential per-point rebuild."""
+        e0 = jax.scipy.linalg.solve_triangular(self.L_D, d0, lower=True)
+        return self.replace(b=self.W.T @ e0, c0=e0 @ e0, d0=d0)
 
 
 def build_woodbury(D: jax.Array, U: jax.Array, d0: jax.Array) -> WoodburyNormal:
@@ -76,6 +90,8 @@ def build_woodbury(D: jax.Array, U: jax.Array, d0: jax.Array) -> WoodburyNormal:
         half_logdet_D=jnp.sum(jnp.log(jnp.diagonal(L_D))),
         U=U,
         d0=d0,
+        L_D=L_D,
+        W=W,
     )
 
 

@@ -139,28 +139,18 @@ class SteerAnalysis:
                     analysis_config=analysis_config,
                     config_file=self.config_file,
                 )
-                if mcmc_config.likelihood_mode == "block":
-                    # All validation-point MCMCs vmapped into one on-chip
-                    # program (the reference loops full runs sequentially,
-                    # steer_analysis.py:174-181).
-                    from bayesian_inference_tpu.mcmc.runner import run_closure_batch
+                # All validation-point MCMCs vmapped into one on-chip program
+                # (the reference loops full runs sequentially,
+                # steer_analysis.py:174-181). Both likelihood modes batch;
+                # chains stream to the per-point artifacts and the batch
+                # checkpoints every quarter for resume.
+                from bayesian_inference_tpu.mcmc.runner import run_closure_batch
 
-                    run_closure_batch(mcmc_config, range(n_points))
-                else:
-                    from bayesian_inference_tpu.mcmc.runner import run_mcmc
-                    from bayesian_inference_tpu.utils.helpers import progress_iter
-
-                    for i in progress_iter(
-                        range(n_points), f"closure MCMC [{analysis_name}]", logger
-                    ):
-                        cfg_i = MCMCConfig(
-                            analysis_name=analysis_name,
-                            parameterization=parameterization,
-                            analysis_config=analysis_config,
-                            config_file=self.config_file,
-                            closure_index=i,
-                        )
-                        run_mcmc(cfg_i, closure_index=i, seed=i)
+                run_closure_batch(
+                    mcmc_config, range(n_points),
+                    checkpoint_every=max(1, mcmc_config.n_sampling_steps // 4),
+                    return_chains=False,
+                )
 
     # ------------------------------------------------------------------
     def _run_plots(self) -> None:

@@ -104,10 +104,13 @@ def test_pairplot_holdout_containment_logic(tmp_path):
 
 
 @pytest.mark.slow
-def test_batched_closure_matches_sequential(closure_setup, tmp_path):
+@pytest.mark.parametrize("mode", ["block", "lowrank"])
+def test_batched_closure_matches_sequential(closure_setup, tmp_path, mode):
     """run_closure_batch (all validation points vmapped into one program)
-    reproduces the sequential per-point runner exactly: same pseudodata, same
-    key derivation, same chains and artifacts."""
+    reproduces the sequential per-point runner exactly — in BOTH likelihood
+    modes (lowrank rebuilds the d0-dependent Woodbury pieces per point from
+    the cached d0-independent factorization): same pseudodata, same key
+    derivation, same chains and artifacts."""
     import shutil
 
     from bayesian_inference_tpu.mcmc.runner import run_closure_batch
@@ -122,14 +125,14 @@ def test_batched_closure_matches_sequential(closure_setup, tmp_path):
             analysis_config=analysis_config, config_file=str(config_path),
             closure_index=i,
         )
-        seq[i] = run_mcmc(cfg, closure_index=i, seed=i)
+        seq[i] = run_mcmc(cfg, closure_index=i, seed=i, mode=mode)
         shutil.rmtree(cfg.mcmc_output_dir)
 
     base_cfg = MCMCConfig(
         analysis_name=analysis_name, parameterization=param,
         analysis_config=analysis_config, config_file=str(config_path),
     )
-    batched = run_closure_batch(base_cfg, indices, seed=0)
+    batched = run_closure_batch(base_cfg, indices, seed=0, mode=mode)
 
     for i in indices:
         assert batched[i]["chain"].shape == seq[i]["chain"].shape
@@ -187,3 +190,73 @@ def test_batched_closure_sharded_over_mesh(closure_setup):
         np.testing.assert_allclose(
             sharded[i]["acceptance_fraction"], plain[i]["acceptance_fraction"]
         )
+
+
+def test_batched_closure_checkpoint_resume(closure_setup, monkeypatch):
+    """An interrupted batched closure run resumes from its checkpoint and
+    produces bit-identical chains to an uninterrupted run (streamed per-point
+    h5 slabs kept, sampler state restored from the snapshot)."""
+    import shutil
+
+    from bayesian_inference_tpu.mcmc.runner import run_closure_batch
+
+    config_path, analysis_name, param, analysis_config = closure_setup
+    indices = [0, 1]
+    base_cfg = MCMCConfig(
+        analysis_name=analysis_name, parameterization=param,
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+
+    # uninterrupted run (chunked the same way)
+    full = run_closure_batch(
+        base_cfg, indices, seed=0, dispatch_chunk=10, checkpoint_every=10
+    )
+    for i in indices:
+        cfg_i = MCMCConfig(
+            analysis_name=analysis_name, parameterization=param,
+            analysis_config=analysis_config, config_file=str(config_path),
+            closure_index=i,
+        )
+        shutil.rmtree(cfg_i.mcmc_output_dir)
+
+    # interrupted after 2 of 4 chunks, then resumed
+    monkeypatch.setenv("BIQ_CLOSURE_ABORT_AFTER_CHUNKS", "2")
+    with pytest.raises(RuntimeError, match="aborted by"):
+        run_closure_batch(base_cfg, indices, seed=0, dispatch_chunk=10, checkpoint_every=10)
+    ckpt = Path(base_cfg.output_dir) / "closure" / "closure_checkpoint.pkl"
+    assert ckpt.exists()
+    monkeypatch.delenv("BIQ_CLOSURE_ABORT_AFTER_CHUNKS")
+    resumed = run_closure_batch(
+        base_cfg, indices, seed=0, dispatch_chunk=10, checkpoint_every=10
+    )
+    assert not ckpt.exists()  # consumed on completion
+
+    for i in indices:
+        np.testing.assert_array_equal(resumed[i]["chain"], full[i]["chain"])
+        np.testing.assert_array_equal(resumed[i]["log_prob"], full[i]["log_prob"])
+        np.testing.assert_allclose(
+            resumed[i]["acceptance_fraction"], full[i]["acceptance_fraction"]
+        )
+
+
+def test_closure_batch_return_chains_false(closure_setup):
+    """return_chains=False keeps chains out of the returned dicts (production
+    memory bound) while the on-disk artifacts stay complete."""
+    from bayesian_inference_tpu.mcmc.runner import run_closure_batch
+
+    config_path, analysis_name, param, analysis_config = closure_setup
+    base_cfg = MCMCConfig(
+        analysis_name=analysis_name, parameterization=param,
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+    out = run_closure_batch(base_cfg, [3], seed=0, return_chains=False)
+    assert "chain" not in out[3] and "log_prob" not in out[3]
+    cfg_i = MCMCConfig(
+        analysis_name=analysis_name, parameterization=param,
+        analysis_config=analysis_config, config_file=str(config_path),
+        closure_index=3,
+    )
+    stored = io.read_dict_from_h5(cfg_i.mcmc_output_dir, "mcmc.h5", verbose=False)
+    assert stored["chain"].shape == (base_cfg.n_sampling_steps, base_cfg.n_walkers, 6)
+    assert stored["log_prob"].shape == (base_cfg.n_sampling_steps, base_cfg.n_walkers)
+    assert "split_rhat" in stored and "experimental_pseudodata" in stored

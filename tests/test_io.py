@@ -199,3 +199,33 @@ def test_synthetic_production_tables_ingest(tmp_path):
     for v in obs["Prediction"].values():
         assert v["y"].shape[1] == obs["Design"].shape[0]
         assert np.all(v["y"] > 0)
+
+
+def test_append_time_series_streaming(tmp_path):
+    """Chunked chain streaming: appends accumulate along axis 0, truncate_to
+    drops post-checkpoint slabs, and the file reads back through the normal
+    dict loader."""
+    from bayesian_inference_tpu.io import hdf5
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(10, 4, 2))
+    b = rng.normal(size=(6, 4, 2))
+    n = hdf5.append_time_series(str(tmp_path), "mcmc.h5", {"chain": a})
+    assert n == 10
+    n = hdf5.append_time_series(str(tmp_path), "mcmc.h5", {"chain": b})
+    assert n == 16
+    assert hdf5.time_series_length(str(tmp_path), "mcmc.h5", "chain") == 16
+    out = hdf5.read_dict_from_h5(str(tmp_path), "mcmc.h5", verbose=False)
+    np.testing.assert_array_equal(out["chain"], np.concatenate([a, b], axis=0))
+
+    # truncate back to the first slab, then append a replacement
+    c = rng.normal(size=(3, 4, 2))
+    n = hdf5.append_time_series(str(tmp_path), "mcmc.h5", {"chain": c}, truncate_to=10)
+    assert n == 13
+    out = hdf5.read_dict_from_h5(str(tmp_path), "mcmc.h5", verbose=False)
+    np.testing.assert_array_equal(out["chain"], np.concatenate([a, c], axis=0))
+
+    # modify-mode metadata writes coexist with streamed datasets
+    hdf5.write_dict_to_h5({"acceptance_fraction": np.ones(4)}, str(tmp_path), "mcmc.h5", verbose=False)
+    assert hdf5.time_series_length(str(tmp_path), "mcmc.h5", "chain") == 13
+    assert hdf5.time_series_length(str(tmp_path), "mcmc.h5", "missing") == 0

@@ -415,3 +415,23 @@ def test_runner_reports_split_rhat(likelihood_setup):
     assert np.all(np.isfinite(out["split_rhat"]))
     stored = io.read_dict_from_h5(cfg.mcmc_output_dir, "mcmc.h5", verbose=False)
     np.testing.assert_allclose(stored["split_rhat"], out["split_rhat"])
+
+
+def test_integrated_time_batched_matches_per_point():
+    """The one-FFT-pass batched estimator equals per-point integrated_time,
+    including the reliability (chain >= 50 tau) verdict."""
+    from bayesian_inference_tpu.mcmc import stats
+
+    rng = np.random.default_rng(5)
+    n, P, W, D = 3000, 3, 4, 2
+    rho = np.array([0.3, 0.9])
+    chains = np.zeros((n, P, W, D))
+    eps = rng.normal(size=(n, P, W, D))
+    for t in range(1, n):
+        chains[t] = rho * chains[t - 1] + eps[t]
+    tau_b, reliable_b = stats.integrated_time_batched(chains)
+    assert tau_b.shape == (P, D) and reliable_b.shape == (P, D)
+    for p in range(P):
+        tau_p = stats.integrated_time(chains[:, p], quiet=True)
+        np.testing.assert_allclose(tau_b[p], tau_p, rtol=1e-12)
+        assert reliable_b[p].all() == (not np.any(50.0 * tau_p > n))

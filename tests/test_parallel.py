@@ -86,3 +86,15 @@ def test_run_mcmc_with_mesh(tmp_path):
     out_mesh = run_mcmc(cfg, seed=0, mesh=get_mesh())
     out_single = run_mcmc(cfg, seed=0, mesh=None)
     np.testing.assert_allclose(out_mesh["chain"], out_single["chain"], rtol=1e-10)
+    # both paths must run the value-independent AOT executables (the mesh run
+    # used to silently fall back to inline jit, losing the persistent-cache
+    # keys mcmc/programs.py exists to provide)
+    assert out_mesh["used_aot_programs"] and out_single["used_aot_programs"]
+
+    # warm == cold: a prewarmed mesh-sharded program handle reproduces the
+    # inline-compiled mesh run exactly
+    from bayesian_inference_tpu.mcmc.programs import prewarm_sampler_programs
+
+    programs = prewarm_sampler_programs(cfg, mesh=get_mesh())
+    out_warm = run_mcmc(cfg, seed=0, mesh=get_mesh(), programs=programs)
+    np.testing.assert_allclose(out_warm["chain"], out_mesh["chain"], rtol=0, atol=0)
