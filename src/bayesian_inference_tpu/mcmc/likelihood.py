@@ -47,23 +47,63 @@ class GroupGPs:
     posts: gp_mod.GPPosterior  # stacked over the group's PCs
 
 
-def bucket_layout(widths: Sequence[int]) -> list[tuple[int, list[int]]]:
-    """Group observable blocks by padded width (multiples of 8, min 8).
+# Cost of one extra fused-kernel launch per likelihood eval, in the same
+# count*nb^2 units as the per-block Cholesky work. Calibrated on TPU v5e
+# (scripts/probe_step.py, 2026-08-17): at fixture/production block-width
+# spreads (padded 8/16/24) a SINGLE globally padded bucket beat the 3-bucket
+# split — the per-launch overhead inside the scan body dwarfs the <3x padded
+# flops — so the threshold sits high enough that realistic spreads merge and
+# only pathological ones (e.g. one 48-wide block among hundreds of 8s) split.
+_LAUNCH_COST = 16384.0
 
-    Padding every block to the GLOBAL max width makes the fused Cholesky pay
-    O(max_nb^3) per observable; with production bin counts spanning ~4-25 that
-    wastes ~10x of the kernel work. Buckets keep the padding local (cost
-    sum_b count_b * nb_b^3) while each bucket still runs as one batched
-    kernel. Returns [(nb_pad, [observable indices])] in ascending nb_pad — a
-    pure function of the bin widths, so every tensor builder
-    (build_likelihood, pad_residual_offsets, __graft_entry__) derives the
-    identical layout.
+
+def bucket_layout(
+    widths: Sequence[int], launch_cost: float = _LAUNCH_COST
+) -> list[tuple[int, list[int]]]:
+    """Partition observable blocks into padded-width buckets (multiples of 8).
+
+    Each bucket runs as ONE batched fused-Cholesky kernel launch, with every
+    block padded to the bucket width. Two costs trade off: padding waste
+    (count * nb_pad^2 per-lane work vs the block's own width) and per-launch
+    overhead. A tiny DP over the sorted distinct padded widths picks the
+    partition minimizing  sum_groups [launch_cost + (count in group) *
+    (group max nb)^2]  — one global bucket when the width spread is mild
+    (both bundled profiles: spread 8-24, waste < 3x, launches dominate), a
+    split only when outlier widths would inflate the padded work past the
+    cost of another launch. Returns [(nb_pad, [observable indices])] in
+    ascending nb_pad — a pure function of the bin widths, so every tensor
+    builder (build_likelihood, pad_residual_offsets, __graft_entry__) derives
+    the identical layout.
     """
-    buckets: dict[int, list[int]] = {}
+    import os as _os
+
+    launch_cost = float(_os.environ.get("BIQ_BUCKET_LAUNCH_COST", launch_cost))
+    pads: dict[int, list[int]] = {}
     for i, w in enumerate(widths):
         nb = max(8, ((int(w) + 7) // 8) * 8)
-        buckets.setdefault(nb, []).append(i)
-    return sorted(buckets.items())
+        pads.setdefault(nb, []).append(i)
+    nbs = sorted(pads)
+    counts = [len(pads[nb]) for nb in nbs]
+    n = len(nbs)
+
+    # best[j] = (cost, first-index-of-last-group) over widths nbs[:j]
+    best: list[tuple[float, int]] = [(0.0, 0)] + [(float("inf"), 0)] * n
+    for j in range(1, n + 1):
+        for i in range(j):  # last group = nbs[i:j], padded to nbs[j-1]
+            cost = best[i][0] + launch_cost + sum(counts[i:j]) * nbs[j - 1] ** 2
+            if cost < best[j][0]:
+                best[j] = (cost, i)
+    cuts = []
+    j = n
+    while j > 0:
+        i = best[j][1]
+        cuts.append((i, j))
+        j = i
+    out = []
+    for i, j in reversed(cuts):
+        idxs = [k for nb in nbs[i:j] for k in pads[nb]]
+        out.append((nbs[j - 1], sorted(idxs)))
+    return out
 
 
 def bucketize_blocks(

@@ -255,7 +255,13 @@ def run_mcmc(
         output_dict["experimental_pseudodata"] = experimental_results
 
     _t = _time.perf_counter()
-    hdf5.write_dict_to_h5(output_dict, config.mcmc_output_dir, "mcmc.h5", verbose=True)
+    if out3.get("streamed"):
+        # Chain + log_prob already streamed to mcmc.h5 during the chunked
+        # download (write overlapped device execution); top up metadata only.
+        meta = {k: v for k, v in output_dict.items() if k not in ("chain", "log_prob")}
+        hdf5.write_dict_to_h5(meta, config.mcmc_output_dir, "mcmc.h5", verbose=True)
+    else:
+        hdf5.write_dict_to_h5(output_dict, config.mcmc_output_dir, "mcmc.h5", verbose=True)
     timings["write"] = _time.perf_counter() - _t
 
     sampler_state = {
@@ -685,7 +691,7 @@ def _read_checkpoint_records(path: str, n_total: int) -> list[dict[str, Any]]:
     with open(path, "rb") as f:
         try:
             header = pickle.load(f)
-            if header.get("version") != 2 or header.get("n_total") != n_total:
+            if header.get("version") != 3 or header.get("n_total") != n_total:
                 return []
             while True:
                 records.append(pickle.load(f))
@@ -731,13 +737,19 @@ def _run_production(
 
     Chunks are dispatched back-to-back (jax async dispatch keeps the device
     pipeline full); each chunk's chain slab is then downloaded in completion
-    order, so host transfer overlaps device execution. When
-    ``checkpoint_every`` is set, per-chunk snapshots form append-only resumable
-    checkpoints (step-granular resume the reference lists as an open TODO,
-    mcmc.py:69-70). The acceptance-logging cadence comes from the scan's
-    per-step acceptance trace in both paths.
+    order AND appended straight to mcmc.h5 (io/hdf5.py::append_time_series),
+    so both the transfer and the disk write overlap device execution — the
+    caller's final write covers metadata only (result key "streamed"=True).
+    When ``checkpoint_every`` is set, per-chunk STATE-ONLY snapshots form
+    append-only resumable checkpoints (step-granular resume the reference
+    lists as an open TODO, mcmc.py:69-70); the streamed h5 is the durable
+    chain store, trimmed to the snapshot step on resume. The snapshot carries
+    the scan's in-flight log_prob — re-evaluating it at resume would pick up
+    1-ulp fusion differences vs the scan body and break bit-exact resume.
+    The acceptance-logging cadence comes from the scan's per-step acceptance
+    trace in both paths.
     """
-    from bayesian_inference_tpu.mcmc.stretch import init_state, run_chunk
+    from bayesian_inference_tpu.mcmc.stretch import EnsembleState, init_state, run_chunk
 
     def _init(k, x):
         if programs is not None:
@@ -769,37 +781,68 @@ def _run_production(
         }
 
     path = _checkpoint_path(config)
+    out_dir = config.mcmc_output_dir
     chains: list[np.ndarray] = []
     logps: list[np.ndarray] = []
     acc_offset = np.zeros(x0.shape[0], np.int64)
     steps_done = 0
+    state = None
 
     ckpt_file = None
     if checkpoint_every:
-        os.makedirs(config.mcmc_output_dir, exist_ok=True)
+        os.makedirs(out_dir, exist_ok=True)
         if os.path.exists(path):
             records = _read_checkpoint_records(path, n_total)
             if records and records[-1]["steps_done"] < n_total:
                 last = records[-1]
                 logger.info(f"Resuming production from checkpoint at step {last['steps_done']}")
-                chains = [r["chain"] for r in records]
-                logps = [r["logp"] for r in records]
                 acc_offset = last["n_accepted"]
                 steps_done = last["steps_done"]
-                x0 = jnp.asarray(last["coords"])
-                key = jax.random.wrap_key_data(last["key_data"])
+                state = EnsembleState(
+                    coords=jnp.asarray(last["coords"]),
+                    log_prob=jnp.asarray(last["log_prob"]),
+                    n_accepted=jnp.zeros(x0.shape[0], jnp.int32),
+                    key=jax.random.wrap_key_data(jnp.asarray(last["key_data"])),
+                )
+                # Durable chain prefix = streamed h5, trimmed to the snapshot
+                # step (drops any slab written after the last complete record),
+                # then read back so the caller still gets the full chain.
+                n_have = hdf5.time_series_length(out_dir, "mcmc.h5", "chain")
+                if n_have < steps_done:
+                    raise RuntimeError(
+                        f"checkpoint at step {steps_done} but streamed chain has "
+                        f"only {n_have} steps — artifacts are inconsistent; "
+                        "delete mcmc_checkpoint.pkl to restart"
+                    )
+                import h5py
+
+                with h5py.File(os.path.join(out_dir, "mcmc.h5"), "r") as f:
+                    chains = [f["chain"][:steps_done]]
+                    logps = [f["log_prob"][:steps_done]]
+                if n_have != steps_done:
+                    hdf5.append_time_series(
+                        out_dir, "mcmc.h5",
+                        {"chain": chains[0][:0], "log_prob": logps[0][:0]},
+                        truncate_to=steps_done,
+                    )
                 # Rewrite header + complete records once (truncated tails drop).
                 with open(path, "wb") as f:
-                    pickle.dump({"version": 2, "n_total": n_total}, f)
+                    pickle.dump({"version": 3, "n_total": n_total}, f)
                     for r in records:
                         pickle.dump(r, f)
                 ckpt_file = open(path, "ab")
         if ckpt_file is None:
             ckpt_file = open(path, "wb")
-            pickle.dump({"version": 2, "n_total": n_total}, ckpt_file)
+            pickle.dump({"version": 3, "n_total": n_total}, ckpt_file)
+
+    if state is None:
+        # fresh run: drop any stale streamed chain from an earlier attempt
+        h5_path = os.path.join(out_dir, "mcmc.h5")
+        if os.path.exists(h5_path):
+            os.remove(h5_path)
+        state = _init(key, x0)
 
     # Dispatch every chunk up front; snapshot per-chunk state (device handles).
-    state = _init(key, x0)
     pending = []
     remaining = n_total - steps_done
     sizes = [dispatch_chunk] * (remaining // dispatch_chunk)
@@ -810,11 +853,15 @@ def _run_production(
         pending.append((n, ys, state))
     stats.warm_fft_plans(n_total)  # host idle while the device executes
 
-    # Download in order: np.asarray blocks on chunk k while k+1.. execute.
+    # Download in order: np.asarray blocks on chunk k while k+1.. execute; the
+    # h5 append for chunk k also overlaps chunks k+1..'s device execution.
     trace_sum = float(acc_offset.mean())  # sum of per-step mean acceptance so far
     for n, ys, snap in pending:
         chains.append(np.asarray(ys[0]))
         logps.append(np.asarray(ys[1]))
+        hdf5.append_time_series(
+            out_dir, "mcmc.h5", {"chain": chains[-1], "log_prob": logps[-1]}
+        )
         tr = np.asarray(ys[2])
         _log_acceptance_cadence(config, tr, offset=steps_done, prior_sum=trace_sum)
         trace_sum += float(tr.sum(dtype=np.float64))
@@ -823,10 +870,9 @@ def _run_production(
         if ckpt_file is not None:
             pickle.dump({
                 "steps_done": steps_done,
-                "chain": chains[-1],
-                "logp": logps[-1],
                 "n_accepted": acc_cum,
                 "coords": np.asarray(snap.coords),
+                "log_prob": np.asarray(snap.log_prob),
                 "key_data": np.asarray(jax.random.key_data(snap.key)),
             }, ckpt_file)
             ckpt_file.flush()
@@ -840,7 +886,8 @@ def _run_production(
         "coords": state.coords,
         "final_log_prob": state.log_prob,
         "acceptance_fraction": final_acc.astype(float) / n_total,
-        "chain": np.concatenate(chains, axis=0),
-        "log_prob": np.concatenate(logps, axis=0),
+        "chain": np.concatenate(chains, axis=0) if len(chains) > 1 else chains[0],
+        "log_prob": np.concatenate(logps, axis=0) if len(logps) > 1 else logps[0],
         "key": state.key,
+        "streamed": True,
     }

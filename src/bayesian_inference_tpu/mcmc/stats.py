@@ -85,14 +85,20 @@ def split_rhat(chain: npt.NDArray) -> npt.NDArray:
         chain = chain[:, :, None]
     n_t = chain.shape[0] - (chain.shape[0] % 2)
     half = n_t // 2
-    # (m sub-chains, half steps, ndim): each walker contributes two halves.
-    # Accumulate statistics in float64 without copying the (possibly float32)
-    # chain — the moment reductions are the only precision-sensitive part.
-    sub = np.concatenate([chain[:half], chain[half:n_t]], axis=1).transpose(1, 0, 2)
-    m, n, d = sub.shape
-    means = sub.mean(axis=1, dtype=np.float64)            # (m, d)
-    delta = sub - means[:, None, :].astype(sub.dtype)
-    variances = (delta.astype(np.float64) ** 2).sum(axis=1) / (n - 1)
+    # Each walker contributes two half-chains. Statistics come from two
+    # single-pass f64-accumulated moment reductions per half over the GLOBALLY
+    # centered chain (centering kills the s2 - n*mu^2 cancellation) — no
+    # (2W, half, d) transpose copy and no multi-GB f64 delta temps; this runs
+    # on the hot bench path right after the chain download.
+    c = chain[:n_t] - chain[:n_t].mean(axis=(0, 1), dtype=np.float64).astype(chain.dtype)
+    n = half
+    means_parts, s2_parts = [], []
+    for p in (c[:half], c[half:]):
+        means_parts.append(p.sum(axis=0, dtype=np.float64) / n)          # (W, d)
+        s2_parts.append(np.einsum("twd,twd->wd", p, p, dtype=np.float64))
+    means = np.concatenate(means_parts, axis=0)                          # (2W, d)
+    s2 = np.concatenate(s2_parts, axis=0)
+    variances = (s2 - n * means**2) / (n - 1)
     W = variances.mean(axis=0)
     B_over_n = means.var(axis=0, ddof=1)                  # = B / n
     var_plus = (n - 1) / n * W + B_over_n
@@ -149,7 +155,7 @@ def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet
     return tau_est
 
 
-def _mean_acf_taus(chain: npt.NDArray, col_chunk: int = 4096) -> npt.NDArray:
+def _mean_acf_taus(chain: npt.NDArray, max_chunk_series: int = 4096) -> npt.NDArray:
     """Cumulative tau estimates 2*cumsum(mean_acf)-1 of shape (n_t, P, n_d).
 
     ``chain`` is (n_t, P, n_w, n_d): P independent chain batches (closure
@@ -159,11 +165,13 @@ def _mean_acf_taus(chain: npt.NDArray, col_chunk: int = 4096) -> npt.NDArray:
     exactly 1, so mean_w(acf_w / acf0_w) == irfft(mean_w |rfft(dx_w/s_w)|^2):
     the walker average happens on the POWER SPECTRA and the inverse transform
     runs over only P*n_d series instead of P*n_w*n_d (~100x less inverse-FFT
-    work than transforming every walker back). Forward transforms are
-    processed ``col_chunk`` series at a time to bound the transient complex
-    buffer (production closure batches would otherwise materialize GBs).
-    Padding to next_fast_len(2*n_t - 1) keeps the linear autocorrelation exact
-    (any pad >= 2*n_t - 1 does) with ~25% fewer points than emcee's
+    work than transforming every walker back). Forward transforms process
+    whole points at a time (at most ~``max_chunk_series`` series per chunk) so
+    the walker sum is a plain reshape-reduction with f64 accumulation —
+    np.add.at scatter was ~8x slower — and the transient complex buffer stays
+    bounded for production closure batches. Padding to
+    next_fast_len(2*n_t - 1) keeps the linear autocorrelation exact (any pad
+    >= 2*n_t - 1 does) with ~25% fewer points than emcee's
     2*next_pow_two(n_t).
     """
     from scipy import fft as sfft
@@ -177,17 +185,14 @@ def _mean_acf_taus(chain: npt.NDArray, col_chunk: int = 4096) -> npt.NDArray:
     norm = np.sqrt(np.einsum("tj,tj->j", x, x))
     x *= 1.0 / np.where(norm == 0.0, 1.0, norm)
 
-    n_series = P * n_w * n_d
-    power = np.zeros((nfft // 2 + 1, P, n_d), np.float64)
-    # Column-chunked forward FFT, accumulating the walker-mean power spectrum.
-    for j0 in range(0, n_series, col_chunk):
-        f = sfft.rfft(x[:, j0 : j0 + col_chunk], n=nfft, axis=0, workers=workers)
-        pw = (f.real.astype(np.float64) ** 2 + f.imag.astype(np.float64) ** 2)
-        # map flat series index -> (P, n_w, n_d); sum walkers into (P, n_d)
-        idx = np.arange(j0, j0 + pw.shape[1])
-        p_idx = idx // (n_w * n_d)
-        d_idx = idx % n_d
-        np.add.at(power.transpose(1, 2, 0), (p_idx, d_idx), pw.T)
+    group = n_w * n_d
+    pts_chunk = max(1, max_chunk_series // group)
+    power = np.empty((nfft // 2 + 1, P, n_d), np.float64)
+    for p0 in range(0, P, pts_chunk):
+        p1 = min(P, p0 + pts_chunk)
+        f = sfft.rfft(x[:, p0 * group : p1 * group], n=nfft, axis=0, workers=workers)
+        pw = f.real**2 + f.imag**2  # chain precision; f64 accumulation below
+        power[:, p0:p1] = pw.reshape(-1, p1 - p0, n_w, n_d).sum(axis=2, dtype=np.float64)
     power /= n_w
     # The inverse transform runs in the chain's own precision: float32 chains
     # (TPU downloads) keep the cheap single-precision irfft; float64 chains
@@ -195,7 +200,7 @@ def _mean_acf_taus(chain: npt.NDArray, col_chunk: int = 4096) -> npt.NDArray:
     mean_acf = sfft.irfft(
         power.reshape(-1, P * n_d).astype(chain.dtype), n=nfft, axis=0, workers=workers
     )[:n_t]
-    return 2.0 * np.cumsum(mean_acf.astype(np.float64), axis=0).reshape(n_t, P, n_d) - 1.0
+    return 2.0 * np.cumsum(mean_acf, axis=0, dtype=np.float64).reshape(n_t, P, n_d) - 1.0
 
 
 def integrated_time_batched(

@@ -249,24 +249,36 @@ def test_checkpoint_resume(likelihood_setup, tmp_path):
     # fabricate an interrupted state: rerun, then truncate via a stored snapshot
     out_full = run_mcmc(cfg, seed=4, checkpoint_every=16)
 
-    # simulate interruption: write a partial append-stream checkpoint (header +
-    # one complete chunk record + a truncated tail, which resume must drop)
+    # simulate interruption: v3 state-only checkpoint (header + one complete
+    # chunk record + a truncated tail, which resume must drop) alongside a
+    # streamed chain prefix that deliberately runs PAST the snapshot (the
+    # post-checkpoint slab must be trimmed on resume)
+    from bayesian_inference_tpu.io import hdf5 as hdf5_mod
+
     record = {
         "steps_done": 16,
-        "chain": out_full["chain"][:16],
-        "logp": out_full["log_prob"][:16],
         "n_accepted": np.zeros(cfg.n_walkers, np.int64),
         "coords": out_full["chain"][15],
+        "log_prob": out_full["log_prob"][15],
         "key_data": np.asarray(jax.random.key_data(jax.random.key(99))),
     }
     os.makedirs(cfg.mcmc_output_dir, exist_ok=True)
+    os.remove(os.path.join(cfg.mcmc_output_dir, "mcmc.h5"))
+    hdf5_mod.append_time_series(
+        cfg.mcmc_output_dir, "mcmc.h5",
+        {"chain": out_full["chain"][:24], "log_prob": out_full["log_prob"][:24]},
+    )
     with open(_checkpoint_path(cfg), "wb") as f:
-        pickle.dump({"version": 2, "n_total": cfg.n_sampling_steps}, f)
+        pickle.dump({"version": 3, "n_total": cfg.n_sampling_steps}, f)
         pickle.dump(record, f)
         f.write(pickle.dumps({"steps_done": 32})[: 20])  # torn write
     out_resumed = run_mcmc(cfg, seed=5, checkpoint_every=16)
     assert out_resumed["chain"].shape[0] == cfg.n_sampling_steps
     np.testing.assert_allclose(out_resumed["chain"][:16], out_full["chain"][:16])
+    # the streamed artifact matches the returned chain end-to-end
+    stored = io.read_dict_from_h5(cfg.mcmc_output_dir, "mcmc.h5", verbose=False)
+    np.testing.assert_array_equal(stored["chain"], out_resumed["chain"])
+    np.testing.assert_array_equal(stored["log_prob"], out_resumed["log_prob"])
 
 
 def test_observables_filename_honored_end_to_end(tmp_path):
@@ -435,3 +447,29 @@ def test_integrated_time_batched_matches_per_point():
         tau_p = stats.integrated_time(chains[:, p], quiet=True)
         np.testing.assert_allclose(tau_b[p], tau_p, rtol=1e-12)
         assert reliable_b[p].all() == (not np.any(50.0 * tau_p > n))
+
+
+def test_bucket_layout_cost_model():
+    """The DP bucket partition minimizes launches + padded work: mild width
+    spreads merge into one globally padded bucket (launch overhead dominates
+    the <3x padding waste at both bundled profiles' spreads), outlier widths
+    split, and the layout is a stable pure function of the widths."""
+    from bayesian_inference_tpu.mcmc.likelihood import bucket_layout
+
+    # fixture-like spread (padded 8/16/24): one global bucket
+    layout = bucket_layout([7] * 6 + [15] * 6 + [21] * 4)
+    assert [(nb, len(ix)) for nb, ix in layout] == [(24, 16)]
+    # every index appears exactly once, in ascending order within its bucket
+    assert sorted(i for _, ix in layout for i in ix) == list(range(16))
+
+    # pathological outlier: one 45-wide block among a hundred 7-wide must NOT
+    # drag everything to nb=48
+    layout = bucket_layout([7] * 100 + [45])
+    assert [(nb, len(ix)) for nb, ix in layout] == [(8, 100), (48, 1)]
+
+    # launch_cost=0 degenerates to exact per-width buckets
+    layout = bucket_layout([7, 15, 21, 7], launch_cost=0.0)
+    assert [(nb, sorted(ix)) for nb, ix in layout] == [(8, [0, 3]), (16, [1]), (24, [2])]
+
+    # widths below 8 still pad up to the 8-sublane minimum
+    assert bucket_layout([1, 2, 3]) == [(8, [0, 1, 2])]
