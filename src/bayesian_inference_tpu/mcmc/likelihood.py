@@ -49,12 +49,14 @@ class GroupGPs:
 
 # Cost of one extra fused-kernel launch per likelihood eval, in the same
 # count*nb^2 units as the per-block Cholesky work. Calibrated on TPU v5e
-# (scripts/probe_step.py, 2026-08-17): at fixture/production block-width
-# spreads (padded 8/16/24) a SINGLE globally padded bucket beat the 3-bucket
-# split — the per-launch overhead inside the scan body dwarfs the <3x padded
-# flops — so the threshold sits high enough that realistic spreads merge and
-# only pathological ones (e.g. one 48-wide block among hundreds of 8s) split.
-_LAUNCH_COST = 16384.0
+# (scripts/probe_buckets.py, 2026-08-17, 5000-step production scans):
+#   fixture    (padded {8:6,16:6,24:4}):  3 buckets 165 us/step, 1 bucket 174
+#   production (padded {8:40,16:96,24:8}): 3 buckets 283, 2 buckets 294, 1: 387
+# i.e. a launch inside the scan body costs only ~2-4 us while padded work runs
+# ~1.5-2 ns per unit — fine bucketing wins at realistic spreads, and the
+# constant (~a launch's worth of work) exists to merge only near-free cases
+# and to keep one outlier width from adding a launch for a single block.
+_LAUNCH_COST = 2048.0
 
 
 def bucket_layout(

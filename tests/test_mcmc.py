@@ -450,17 +450,27 @@ def test_integrated_time_batched_matches_per_point():
 
 
 def test_bucket_layout_cost_model():
-    """The DP bucket partition minimizes launches + padded work: mild width
-    spreads merge into one globally padded bucket (launch overhead dominates
-    the <3x padding waste at both bundled profiles' spreads), outlier widths
-    split, and the layout is a stable pure function of the widths."""
+    """The DP bucket partition minimizes launches + padded work (launch cost
+    calibrated on-device, see likelihood._LAUNCH_COST): realistic width
+    spreads keep fine buckets (launches are near-free inside the scan body),
+    single-block widths merge into a neighbor when padding is cheaper than a
+    launch, and the layout is a stable pure function of the widths."""
     from bayesian_inference_tpu.mcmc.likelihood import bucket_layout
 
-    # fixture-like spread (padded 8/16/24): one global bucket
+    # fixture-like spread (padded 8/16/24): fine buckets survive, except where
+    # merging is cheaper than a launch
     layout = bucket_layout([7] * 6 + [15] * 6 + [21] * 4)
-    assert [(nb, len(ix)) for nb, ix in layout] == [(24, 16)]
-    # every index appears exactly once, in ascending order within its bucket
+    assert [nb for nb, _ in layout] == sorted(nb for nb, _ in layout)
+    # every index appears exactly once across buckets
     assert sorted(i for _, ix in layout for i in ix) == list(range(16))
+    # a single narrow outlier merges up into the wide bucket (padding one
+    # block 8->16 is cheaper than a whole launch); the converse — padding 64
+    # narrow blocks up to absorb one wide one — costs more than a launch, so
+    # the wide block gets its own
+    layout = bucket_layout([15] * 64 + [7])
+    assert [(nb, len(ix)) for nb, ix in layout] == [(16, 65)]
+    layout = bucket_layout([7] * 64 + [15])
+    assert [(nb, len(ix)) for nb, ix in layout] == [(8, 64), (16, 1)]
 
     # pathological outlier: one 45-wide block among a hundred 7-wide must NOT
     # drag everything to nb=48
