@@ -69,6 +69,30 @@ def _auto_window(taus: npt.NDArray, c: float) -> int:
     return len(taus) - 1
 
 
+# Truncated-lag ACF: Sokal's window for any chain passing the tol=50
+# reliability bar sits at <= c * n_t/tol ~ n_t/10 lags, so computing the
+# exact linear ACF only out to lag L (FFT length next_fast_len(n_t + L - 1)
+# instead of next_fast_len(2*n_t - 1)) loses nothing and cuts the forward
+# transforms ~1.7x at production chain lengths. Lags < L are EXACT (circular
+# wrap only touches lags > nfft - n_t >= L - 1); when the window does not
+# converge within L the caller falls back to the full-length transform.
+# Detection: m[0] = (0 < c*taus[0]) = (0 < c) is always True, so
+# _auto_window's argmin can only return 0 when m is all-True, i.e. no window
+# was found in range. BIQ_ACF_MAX_LAG overrides (0 = always full length).
+_ACF_MAX_LAG = 8192
+
+
+def _acf_lag_cap(n_t: int) -> int:
+    """Effective ACF lag cap for an n_t-step chain: full length unless the
+    chain is long enough (>= 2x the cap) for truncation to pay for itself."""
+    import os
+
+    cap = int(os.environ.get("BIQ_ACF_MAX_LAG", _ACF_MAX_LAG) or 0)
+    if 0 < cap and n_t >= 2 * cap:
+        return cap
+    return n_t
+
+
 def split_rhat(chain: npt.NDArray) -> npt.NDArray:
     """Split-chain Gelman-Rubin potential-scale-reduction factor per parameter.
 
@@ -116,10 +140,12 @@ def warm_fft_plans(n_t: int) -> None:
     """
     from scipy import fft as sfft
 
-    nfft = sfft.next_fast_len(2 * n_t - 1, real=True)
     x = np.zeros((n_t, 1), np.float32)
-    f = sfft.rfft(x, n=nfft, axis=0)
-    sfft.irfft(f, n=nfft, axis=0)
+    lags = {_acf_lag_cap(n_t), n_t}  # truncated length + full-length fallback
+    for L in sorted(lags):
+        nfft = sfft.next_fast_len(n_t + L - 1, real=True)
+        f = sfft.rfft(x, n=nfft, axis=0)
+        sfft.irfft(f, n=nfft, axis=0)
 
 
 def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet: bool = False) -> npt.NDArray:
@@ -139,10 +165,16 @@ def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet
     if chain.ndim == 2:
         chain = chain[:, :, None]
     n_t, n_w, n_d = chain.shape
-    taus_all = _mean_acf_taus(chain.reshape(n_t, 1, n_w, n_d))[:, 0, :]  # (n_t, n_d)
-    tau_est = np.empty(n_d)
-    for d in range(n_d):
-        tau_est[d] = taus_all[_auto_window(taus_all[:, d], c), d]
+    L = _acf_lag_cap(n_t)
+    taus_all = _mean_acf_taus(chain.reshape(n_t, 1, n_w, n_d), max_lag=L)[:, 0, :]
+    wins = [_auto_window(taus_all[:, d], c) for d in range(n_d)]
+    if L < n_t and any(w == 0 for w in wins):
+        # window not found within the lag cap for some parameter (w == 0 can
+        # only mean all-True m) — redo exact full-length for identical
+        # semantics on pathological chains
+        taus_all = _mean_acf_taus(chain.reshape(n_t, 1, n_w, n_d))[:, 0, :]
+        wins = [_auto_window(taus_all[:, d], c) for d in range(n_d)]
+    tau_est = np.array([taus_all[w, d] for d, w in enumerate(wins)])
 
     if np.any(tol * tau_est > n_t):
         msg = (
@@ -155,8 +187,12 @@ def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet
     return tau_est
 
 
-def _mean_acf_taus(chain: npt.NDArray, max_chunk_series: int = 4096) -> npt.NDArray:
-    """Cumulative tau estimates 2*cumsum(mean_acf)-1 of shape (n_t, P, n_d).
+def _mean_acf_taus(
+    chain: npt.NDArray, max_chunk_series: int = 4096, max_lag: int | None = None
+) -> npt.NDArray:
+    """Cumulative tau estimates 2*cumsum(mean_acf)-1 of shape (L, P, n_d),
+    where L = min(max_lag, n_t) (lags beyond L are not computed; they are
+    exact up to L — see _ACF_MAX_LAG).
 
     ``chain`` is (n_t, P, n_w, n_d): P independent chain batches (closure
     points), walker-averaged per (point, parameter) exactly as emcee does.
@@ -170,17 +206,18 @@ def _mean_acf_taus(chain: npt.NDArray, max_chunk_series: int = 4096) -> npt.NDAr
     the walker sum is a plain reshape-reduction with f64 accumulation —
     np.add.at scatter was ~8x slower — and the transient complex buffer stays
     bounded for production closure batches. Padding to
-    next_fast_len(2*n_t - 1) keeps the linear autocorrelation exact (any pad
-    >= 2*n_t - 1 does) with ~25% fewer points than emcee's
-    2*next_pow_two(n_t).
+    next_fast_len(n_t + L - 1) keeps the linear autocorrelation exact at all
+    computed lags < L (any pad >= n_t + L - 1 does); at L = n_t this is
+    emcee's full ACF with ~25% fewer points than its 2*next_pow_two(n_t).
     """
     from scipy import fft as sfft
 
     import os
 
     n_t, P, n_w, n_d = chain.shape
+    L = n_t if max_lag is None else min(int(max_lag), n_t)
     workers = os.cpu_count() or 1
-    nfft = sfft.next_fast_len(2 * n_t - 1, real=True)
+    nfft = sfft.next_fast_len(n_t + L - 1, real=True)
     x = (chain - chain.mean(axis=0)).reshape(n_t, P * n_w * n_d)
     norm = np.sqrt(np.einsum("tj,tj->j", x, x))
     x *= 1.0 / np.where(norm == 0.0, 1.0, norm)
@@ -199,8 +236,8 @@ def _mean_acf_taus(chain: npt.NDArray, max_chunk_series: int = 4096) -> npt.NDAr
     # preserve the accuracy the per-walker estimator delivers.
     mean_acf = sfft.irfft(
         power.reshape(-1, P * n_d).astype(chain.dtype), n=nfft, axis=0, workers=workers
-    )[:n_t]
-    return 2.0 * np.cumsum(mean_acf, axis=0, dtype=np.float64).reshape(n_t, P, n_d) - 1.0
+    )[:L]
+    return 2.0 * np.cumsum(mean_acf, axis=0, dtype=np.float64).reshape(L, P, n_d) - 1.0
 
 
 def integrated_time_batched(
@@ -218,10 +255,16 @@ def integrated_time_batched(
     if not np.issubdtype(chain.dtype, np.floating):
         chain = chain.astype(np.float64)
     n_t, P, n_w, n_d = chain.shape
-    taus_all = _mean_acf_taus(chain)  # (n_t, P, n_d)
-    flat = taus_all.reshape(n_t, P * n_d)
-    m = np.arange(n_t)[:, None] < c * flat
-    win = np.where(m.any(axis=0), np.argmin(m, axis=0), n_t - 1)
+    L = _acf_lag_cap(n_t)
+    taus_all = _mean_acf_taus(chain, max_lag=L)  # (L, P, n_d)
+    flat = taus_all.reshape(L, P * n_d)
+    m = np.arange(L)[:, None] < c * flat
+    win = np.where(m.any(axis=0), np.argmin(m, axis=0), L - 1)
+    if L < n_t and np.any(win == 0):
+        # some series' window lies beyond the lag cap — exact full-length redo
+        flat = _mean_acf_taus(chain).reshape(n_t, P * n_d)
+        m = np.arange(n_t)[:, None] < c * flat
+        win = np.where(m.any(axis=0), np.argmin(m, axis=0), n_t - 1)
     tau = flat[win, np.arange(flat.shape[1])].reshape(P, n_d)
     reliable = tol * tau <= n_t
     return tau, reliable
@@ -249,19 +292,27 @@ def integrated_time_per_walker(chain: npt.NDArray, c: float = 5.0, tol: float = 
     if chain.ndim == 2:
         chain = chain[:, :, None]
     n_t, n_w, n_d = chain.shape
-    nfft = sfft.next_fast_len(2 * n_t - 1, real=True)
     x = (chain - chain.mean(axis=0)).reshape(n_t, n_w * n_d)
     workers = os.cpu_count() or 1
-    f = sfft.rfft(x, n=nfft, axis=0, workers=workers)
-    np.multiply(f, np.conjugate(f), out=f)
-    acf = sfft.irfft(f, n=nfft, axis=0, workers=workers)[:n_t]
-    acf0 = acf[0]
-    acf = acf / np.where(acf0 == 0.0, 1.0, acf0)
-    taus_all = 2.0 * np.cumsum(acf.astype(np.float64), axis=0) - 1.0  # (n_t, n_w*n_d)
 
-    # emcee auto_window semantics, vectorized per series
-    m = np.arange(n_t)[:, None] < c * taus_all
-    win = np.where(m.any(axis=0), np.argmin(m, axis=0), n_t - 1)
+    def _taus_and_windows(L: int):
+        nfft = sfft.next_fast_len(n_t + L - 1, real=True)
+        f = sfft.rfft(x, n=nfft, axis=0, workers=workers)
+        np.multiply(f, np.conjugate(f), out=f)
+        acf = sfft.irfft(f, n=nfft, axis=0, workers=workers)[:L]
+        acf0 = acf[0]
+        acf = acf / np.where(acf0 == 0.0, 1.0, acf0)
+        taus_all = 2.0 * np.cumsum(acf.astype(np.float64), axis=0) - 1.0  # (L, s)
+        # emcee auto_window semantics, vectorized per series
+        m = np.arange(L)[:, None] < c * taus_all
+        win = np.where(m.any(axis=0), np.argmin(m, axis=0), L - 1)
+        return taus_all, win
+
+    L = _acf_lag_cap(n_t)
+    taus_all, win = _taus_and_windows(L)
+    if L < n_t and np.any(win == 0):
+        # some walker's window lies beyond the lag cap — exact full-length redo
+        taus_all, win = _taus_and_windows(n_t)
     tau = taus_all[win, np.arange(taus_all.shape[1])].reshape(n_w, n_d)
     reliable = tol * tau <= n_t
     return tau, reliable

@@ -449,6 +449,50 @@ def test_integrated_time_batched_matches_per_point():
         assert reliable_b[p].all() == (not np.any(50.0 * tau_p > n))
 
 
+def test_truncated_lag_acf_matches_full_length(monkeypatch):
+    """The lag-capped ACF path (engaged on long chains) returns bit-identical
+    taus to the full-length transform when the Sokal window converges within
+    the cap, and falls back to the exact full-length result when it does not."""
+    from bayesian_inference_tpu.mcmc import stats
+
+    rng = np.random.default_rng(11)
+    n, W, D = 2000, 6, 2
+    chain = np.zeros((n, W, D))
+    eps = rng.normal(size=(n, W, D))
+    for t in range(1, n):
+        chain[t] = np.array([0.5, 0.9]) * chain[t - 1] + eps[t]
+
+    monkeypatch.setenv("BIQ_ACF_MAX_LAG", "0")
+    tau_full = stats.integrated_time(chain, quiet=True)
+    tau_pw_full, rel_full = stats.integrated_time_per_walker(chain)
+    tau_b_full, relb_full = stats.integrated_time_batched(chain[:, None])
+
+    # cap 256 >> window (~5*tau, tau ~ 2-20): truncated path picks the same
+    # window; tau values agree to FFT rounding (different transform lengths)
+    monkeypatch.setenv("BIQ_ACF_MAX_LAG", "256")
+    np.testing.assert_allclose(
+        stats.integrated_time(chain, quiet=True), tau_full, rtol=1e-8
+    )
+    tau_pw, rel = stats.integrated_time_per_walker(chain)
+    np.testing.assert_allclose(tau_pw, tau_pw_full, rtol=1e-8)
+    np.testing.assert_array_equal(rel, rel_full)
+    tau_b, relb = stats.integrated_time_batched(chain[:, None])
+    np.testing.assert_allclose(tau_b, tau_b_full, rtol=1e-8)
+    np.testing.assert_array_equal(relb, relb_full)
+
+    # pathological chain (random walk: window far beyond a tiny cap) must
+    # fall back to the exact full-length estimate in every variant
+    walk = np.cumsum(rng.normal(size=(n, W, D)), axis=0)
+    monkeypatch.setenv("BIQ_ACF_MAX_LAG", "0")
+    walk_full = stats.integrated_time(walk, quiet=True)
+    walk_pw_full, _ = stats.integrated_time_per_walker(walk)
+    walk_b_full, _ = stats.integrated_time_batched(walk[:, None])
+    monkeypatch.setenv("BIQ_ACF_MAX_LAG", "64")
+    np.testing.assert_array_equal(stats.integrated_time(walk, quiet=True), walk_full)
+    np.testing.assert_array_equal(stats.integrated_time_per_walker(walk)[0], walk_pw_full)
+    np.testing.assert_array_equal(stats.integrated_time_batched(walk[:, None])[0], walk_b_full)
+
+
 def test_bucket_layout_cost_model():
     """The DP bucket partition minimizes launches + padded work (launch cost
     calibrated on-device, see likelihood._LAUNCH_COST): realistic width
