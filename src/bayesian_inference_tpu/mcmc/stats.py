@@ -228,8 +228,13 @@ def _mean_acf_taus(
     for p0 in range(0, P, pts_chunk):
         p1 = min(P, p0 + pts_chunk)
         f = sfft.rfft(x[:, p0 * group : p1 * group], n=nfft, axis=0, workers=workers)
-        pw = f.real**2 + f.imag**2  # chain precision; f64 accumulation below
-        power[:, p0:p1] = pw.reshape(-1, p1 - p0, n_w, n_d).sum(axis=2, dtype=np.float64)
+        # |f|^2 without strided .real/.imag gathers: square the interleaved
+        # re/im float view contiguously and fold the pair-sum into the f64
+        # walker reduction (contiguous passes; chain precision preserved)
+        sq = np.square(f.view(x.dtype))
+        power[:, p0:p1] = sq.reshape(-1, p1 - p0, n_w, n_d, 2).sum(
+            axis=(2, 4), dtype=np.float64
+        )
     power /= n_w
     # The inverse transform runs in the chain's own precision: float32 chains
     # (TPU downloads) keep the cheap single-precision irfft; float64 chains
