@@ -233,13 +233,17 @@ def run_mcmc(
     }
     _t = _time.perf_counter()
     try:
-        output_dict["autocorrelation_time"] = stats.integrated_time(chain)
+        output_dict["autocorrelation_time"] = stats.integrated_time(
+            chain, mean_power=out3.get("mean_power")
+        )
     except stats.AutocorrError as e:
         output_dict["autocorrelation_time"] = None
         logger.info(f"Could not compute autocorrelation time: {e}")
     # Split-chain R-hat: convergence check complementary to tau (neither the
     # reference nor emcee reports it; values near 1 = converged halves).
-    rhat = stats.split_rhat(chain)
+    rhat = out3.get("split_rhat")
+    if rhat is None:
+        rhat = stats.split_rhat(chain)
     output_dict["split_rhat"] = rhat
     timings["autocorr"] = _time.perf_counter() - _t
     logger.info(
@@ -577,6 +581,22 @@ def run_closure_batch(
         ckpt_file.close()
         os.remove(ckpt_path)
 
+    # Accelerator-side per-point tau spectra + R-hat: the device chain slabs
+    # are still alive in ``pending`` and the device is idle (all chunks
+    # downloaded), so each point's full chain is assembled and transformed
+    # on-chip one point at a time (bounded VMEM/HBM) and only the tiny
+    # spectra download — the host FFT passes disappear entirely. Fresh runs
+    # only: a resumed prefix lives in the per-point h5 files (host fallback).
+    device_stats = None  # (power (P,K,d), nfft, rhat (P,d)) when on-accelerator
+    if sum(sizes) == n_total:  # fresh run: every step's slab is on device
+        probe = next((ys[0] for _, ys, _ in pending if hasattr(ys[0], "devices")), None)
+        if (
+            probe is not None
+            and next(iter(probe.devices())).platform != "cpu"
+            and os.environ.get("BIQ_DEVICE_ACF", "1").lower() not in ("0", "false")
+        ):
+            device_stats = stats.device_closure_stats([ys[0] for _, ys, _ in pending])
+
     acceptance = (acc_offset + np.asarray(states.n_accepted, np.int64)).astype(float) / n_total
     logger.info(
         f"closure production ({P}x{remaining}): {_time.perf_counter() - _t:.2f}s "
@@ -600,24 +620,37 @@ def run_closure_batch(
     for g0 in range(0, P, group_size):
         grp = closure_indices[g0 : g0 + group_size]
         chains, logps = [], []
-        for i in grp:
-            with h5py.File(os.path.join(cfgs[i].mcmc_output_dir, "mcmc.h5"), "r") as f:
-                chains.append(f["chain"][()])
-                logps.append(f["log_prob"][()] if return_chains else None)
-        chain_g = np.stack(chains, axis=1)   # (n_t, G, W, d)
-        tau_g, reliable_g = stats.integrated_time_batched(chain_g)
+        if return_chains or device_stats is None:
+            # host path (and/or caller wants chains back): re-read the
+            # streamed per-point artifacts group by group (bounded memory)
+            for i in grp:
+                with h5py.File(os.path.join(cfgs[i].mcmc_output_dir, "mcmc.h5"), "r") as f:
+                    chains.append(f["chain"][()])
+                    logps.append(f["log_prob"][()] if return_chains else None)
+        if device_stats is None:
+            chain_g = np.stack(chains, axis=1)   # (n_t, G, W, d)
+            tau_g, reliable_g = stats.integrated_time_batched(chain_g)
         for gi, i in enumerate(grp):
             out_p: dict[str, Any] = {
                 "acceptance_fraction": acceptance[g0 + gi],
                 "design_point": design_val[i],
                 "experimental_pseudodata": pseudodata[g0 + gi],
             }
-            if bool(reliable_g[gi].all()):
-                out_p["autocorrelation_time"] = tau_g[gi]
+            if device_stats is not None:
+                powers, nfft, rhats = device_stats
+                tau_p, rel_p = stats.integrated_time_from_power(
+                    powers[g0 + gi], nfft, n_total, out_dtype=np.dtype(str(dt))
+                )
+                tau_i, reliable_i = tau_p, bool(rel_p.all())
+                out_p["split_rhat"] = rhats[g0 + gi]
+            else:
+                tau_i, reliable_i = tau_g[gi], bool(reliable_g[gi].all())
+                out_p["split_rhat"] = stats.split_rhat(chains[gi])
+            if reliable_i:
+                out_p["autocorrelation_time"] = tau_i
             else:
                 out_p["autocorrelation_time"] = None
                 logger.info(f"closure point {i}: chain shorter than 50 tau; no estimate")
-            out_p["split_rhat"] = stats.split_rhat(chains[gi])
             hdf5.write_dict_to_h5(out_p, cfgs[i].mcmc_output_dir, "mcmc.h5", verbose=False)
             if return_chains:
                 out_p["chain"] = chains[gi]
@@ -665,6 +698,33 @@ def _existing_observables_file(config) -> str:
 
 def _checkpoint_path(config: MCMCConfig) -> str:
     return os.path.join(config.mcmc_output_dir, "mcmc_checkpoint.pkl")
+
+
+def _device_chain_stats(pieces) -> dict[str, Any]:
+    """Accelerator-side post-production diagnostics inputs.
+
+    On the TPU backend the tau power spectrum and split-R-hat compute in
+    <0.1 s with STABLE timing, while the same forward transforms on the
+    shared 1-vCPU host take 2-30 s depending on CPU steal (the dominant
+    bench-variance source, measured 2026-08-17). Returns {} off-TPU (the CPU
+    test suite keeps the host-side reference implementations) or when
+    ``BIQ_DEVICE_ACF=0``; callers fall back to the host path on {}.
+
+    Must only be called when the device is idle (all production chunks
+    downloaded): compiling these programs while the device executes can crash
+    the tunneled TPU worker (CLAUDE.md).
+    """
+    if os.environ.get("BIQ_DEVICE_ACF", "1").lower() in ("0", "false"):
+        return {}
+    dev_arr = next((p for p in pieces if hasattr(p, "devices")), None)
+    if dev_arr is None:
+        return {}
+    if next(iter(dev_arr.devices())).platform == "cpu":
+        return {}
+    return {
+        "mean_power": stats.device_mean_power(pieces),
+        "split_rhat": stats.device_split_rhat(pieces),
+    }
 
 
 def _production_chunk(config: MCMCConfig, checkpoint_every: int | None) -> int | None:
@@ -778,6 +838,9 @@ def _run_production(
             "chain": chain,
             "log_prob": log_prob,
             "key": state.key,
+            # Device idle now (chain download completed): accelerator-side
+            # tau spectrum + R-hat — see _device_chain_stats.
+            **_device_chain_stats([ys[0]]),
         }
 
     path = _checkpoint_path(config)
@@ -882,6 +945,11 @@ def _run_production(
         os.remove(path)
 
     final_acc = acc_offset + np.asarray(state.n_accepted, np.int64)
+    # All chunks executed + downloaded (device idle): accelerator-side tau
+    # spectrum + R-hat over the full chain. Device slabs are still alive in
+    # ``pending``; a resumed host prefix (chains[0] from h5) uploads once.
+    n_resumed = len(chains) - len(pending)
+    dev_pieces = chains[:n_resumed] + [ys[0] for _, ys, _ in pending]
     return {
         "coords": state.coords,
         "final_log_prob": state.log_prob,
@@ -890,4 +958,5 @@ def _run_production(
         "log_prob": np.concatenate(logps, axis=0) if len(logps) > 1 else logps[0],
         "key": state.key,
         "streamed": True,
+        **_device_chain_stats(dev_pieces),
     }

@@ -129,6 +129,26 @@ def split_rhat(chain: npt.NDArray) -> npt.NDArray:
     return np.sqrt(var_plus / np.where(W > 0, W, np.inf))
 
 
+def device_split_rhat(chain_pieces) -> np.ndarray:
+    """Split-chain R-hat computed ON the accelerator (same math as
+    :func:`split_rhat`, in the chain's own precision after global centering —
+    the centering removes the catastrophic s2 - n*mu^2 cancellation, so f32
+    moment accumulation is accurate to ~1e-5, far inside the diagnostic's
+    resolution). Downloads only the (ndim,) result; companion of
+    :func:`device_mean_power` for the post-production host-offload path."""
+    import jax.numpy as jnp
+
+    if isinstance(chain_pieces, (list, tuple)):
+        dev = (
+            jnp.concatenate([jnp.asarray(p) for p in chain_pieces], axis=0)
+            if len(chain_pieces) > 1
+            else jnp.asarray(chain_pieces[0])
+        )
+    else:
+        dev = jnp.asarray(chain_pieces)
+    return np.asarray(_device_jits()[1](dev))
+
+
 def warm_fft_plans(n_t: int) -> None:
     """Precompute pocketfft plans for the integrated_time transform length.
 
@@ -146,35 +166,52 @@ def warm_fft_plans(n_t: int) -> None:
         nfft = sfft.next_fast_len(n_t + L - 1, real=True)
         f = sfft.rfft(x, n=nfft, axis=0)
         sfft.irfft(f, n=nfft, axis=0)
+    # device_mean_power path: only the pow2 irfft runs on the host
+    nfft = 2 * _next_pow_two(n_t)
+    sfft.irfft(np.zeros((nfft // 2 + 1, 1), np.complex64), n=nfft, axis=0)
 
 
-def integrated_time(chain: npt.NDArray, c: float = 5.0, tol: float = 50.0, quiet: bool = False) -> npt.NDArray:
+def integrated_time(
+    chain: npt.NDArray,
+    c: float = 5.0,
+    tol: float = 50.0,
+    quiet: bool = False,
+    mean_power: tuple[npt.NDArray, int] | None = None,
+) -> npt.NDArray:
     """Integrated autocorrelation time per parameter for a (n_steps, n_walkers, ndim) chain.
 
     Averages the walker autocorrelation functions, applies Sokal's automatic
     windowing with parameter ``c``, and raises AutocorrError when the chain is
     shorter than ``tol`` autocorrelation times (unless ``quiet``).
+
+    ``mean_power``: optional precomputed ``(power, nfft)`` walker-averaged ACF
+    power spectrum from :func:`device_mean_power` — the expensive forward
+    transforms then stay on the accelerator and only the cheap inverse
+    transform + windowing run here. The spectrum is full-length, so no lag cap
+    or redo applies.
     """
-    from scipy import fft as sfft
-
-    import os
-
     chain = np.asarray(chain)
     if not np.issubdtype(chain.dtype, np.floating):
         chain = chain.astype(np.float64)
     if chain.ndim == 2:
         chain = chain[:, :, None]
     n_t, n_w, n_d = chain.shape
-    L = _acf_lag_cap(n_t)
-    taus_all = _mean_acf_taus(chain.reshape(n_t, 1, n_w, n_d), max_lag=L)[:, 0, :]
-    wins = [_auto_window(taus_all[:, d], c) for d in range(n_d)]
-    if L < n_t and any(w == 0 for w in wins):
-        # window not found within the lag cap for some parameter (w == 0 can
-        # only mean all-True m) — redo exact full-length for identical
-        # semantics on pathological chains
-        taus_all = _mean_acf_taus(chain.reshape(n_t, 1, n_w, n_d))[:, 0, :]
+    if mean_power is not None:
+        power, nfft = mean_power
+        tau_est, _ = integrated_time_from_power(
+            power, nfft, n_t, c=c, tol=tol, out_dtype=chain.dtype
+        )
+    else:
+        L = _acf_lag_cap(n_t)
+        taus_all = _mean_acf_taus(chain.reshape(n_t, 1, n_w, n_d), max_lag=L)[:, 0, :]
         wins = [_auto_window(taus_all[:, d], c) for d in range(n_d)]
-    tau_est = np.array([taus_all[w, d] for d, w in enumerate(wins)])
+        if L < n_t and any(w == 0 for w in wins):
+            # window not found within the lag cap for some parameter (w == 0
+            # can only mean all-True m) — redo exact full-length for identical
+            # semantics on pathological chains
+            taus_all = _mean_acf_taus(chain.reshape(n_t, 1, n_w, n_d))[:, 0, :]
+            wins = [_auto_window(taus_all[:, d], c) for d in range(n_d)]
+        tau_est = np.array([taus_all[w, d] for d, w in enumerate(wins)])
 
     if np.any(tol * tau_est > n_t):
         msg = (
@@ -236,13 +273,157 @@ def _mean_acf_taus(
             axis=(2, 4), dtype=np.float64
         )
     power /= n_w
-    # The inverse transform runs in the chain's own precision: float32 chains
-    # (TPU downloads) keep the cheap single-precision irfft; float64 chains
-    # preserve the accuracy the per-walker estimator delivers.
+    return _taus_from_power(power, nfft, L, chain.dtype, workers=workers)
+
+
+def _taus_from_power(
+    power: npt.NDArray, nfft: int, L: int, out_dtype, workers: int = 1
+) -> npt.NDArray:
+    """Cumulative tau estimates from a walker-averaged power spectrum.
+
+    ``power``: (nfft//2+1, P, n_d). The inverse transform runs in the chain's
+    own precision: float32 chains (TPU downloads) keep the cheap
+    single-precision irfft; float64 chains preserve the accuracy the
+    per-walker estimator delivers. Returns (L, P, n_d).
+    """
+    from scipy import fft as sfft
+
+    _, P, n_d = power.shape
     mean_acf = sfft.irfft(
-        power.reshape(-1, P * n_d).astype(chain.dtype), n=nfft, axis=0, workers=workers
+        power.reshape(-1, P * n_d).astype(out_dtype), n=nfft, axis=0, workers=workers
     )[:L]
     return 2.0 * np.cumsum(mean_acf, axis=0, dtype=np.float64).reshape(L, P, n_d) - 1.0
+
+
+def integrated_time_from_power(
+    power: npt.NDArray,
+    nfft: int,
+    n_t: int,
+    c: float = 5.0,
+    tol: float = 50.0,
+    out_dtype=np.float32,
+) -> tuple[npt.NDArray, npt.NDArray]:
+    """Sokal-windowed tau from a full-length walker-averaged power spectrum
+    (:func:`device_mean_power`). Returns (tau (n_d,), reliable (n_d,) bool —
+    False where the chain is shorter than ``tol`` tau)."""
+    taus_all = _taus_from_power(np.asarray(power)[:, None, :], nfft, n_t, out_dtype)[:, 0, :]
+    n_d = taus_all.shape[1]
+    wins = [_auto_window(taus_all[:, d], c) for d in range(n_d)]
+    tau = np.array([taus_all[w, d] for d, w in enumerate(wins)])
+    return tau, tol * tau <= n_t
+
+
+def device_mean_power(chain_pieces) -> tuple[np.ndarray, int]:
+    """Walker-averaged ACF power spectrum computed ON the accelerator.
+
+    The forward transforms are the expensive part of ``integrated_time``
+    (600 series x 50k+ points): on the shared 1-vCPU host they take 2-30 s
+    depending on CPU steal, while the TPU runs the full-length (pow2) batch
+    in <0.1 s with stable timing (probe 2026-08-17, scripts/probe_tpu_fft.py).
+    Only the (nfft//2+1, n_d) spectrum is downloaded (~1.6 MB at production
+    scale); pass the result to ``integrated_time(..., mean_power=...)``.
+
+    ``chain_pieces``: one (n_t, n_w, n_d) array or a list of time-axis slabs
+    (device handles and/or host arrays — e.g. a resumed prefix plus the live
+    chunks) concatenated on device. Full-length transform (no lag cap):
+    nfft = 2 * next_pow_two(n_t), exactly emcee's choice.
+    """
+    import jax.numpy as jnp
+
+    if isinstance(chain_pieces, (list, tuple)):
+        dev = (
+            jnp.concatenate([jnp.asarray(p) for p in chain_pieces], axis=0)
+            if len(chain_pieces) > 1
+            else jnp.asarray(chain_pieces[0])
+        )
+    else:
+        dev = jnp.asarray(chain_pieces)
+    n_t = dev.shape[0]
+    nfft = 2 * _next_pow_two(n_t)
+    return np.asarray(_device_jits()[0](dev, nfft)), nfft
+
+
+def device_closure_stats(chain_pieces) -> tuple[np.ndarray, int, np.ndarray]:
+    """Per-point ACF power spectra + split-R-hat for a batched closure run,
+    computed ON the accelerator in ONE program.
+
+    ``chain_pieces``: (n_chunk, P, n_w, n_d) time-axis slabs. The program
+    scans over the P points (FFT working buffers are reused per iteration, so
+    HBM stays bounded at one point's transform); only the (P, nfft//2+1, n_d)
+    spectra and (P, n_d) R-hats download. A single compiled program — NOT a
+    per-point host loop, which would compile one remote program per literal
+    slice index (eager-dispatch hazard, CLAUDE.md). Returns
+    (power (P, nfft//2+1, n_d), nfft, rhat (P, n_d)).
+    """
+    import jax.numpy as jnp
+
+    full = (
+        jnp.concatenate([jnp.asarray(p) for p in chain_pieces], axis=0)
+        if len(chain_pieces) > 1
+        else jnp.asarray(chain_pieces[0])
+    )  # (n_t, P, n_w, n_d)
+    n_t = full.shape[0]
+    nfft = 2 * _next_pow_two(n_t)
+    power, rhat = _device_jits()[2](full, nfft)
+    return np.asarray(power), nfft, np.asarray(rhat)
+
+
+_DEVICE_JITS = None
+
+
+def _device_jits():
+    """Lazily-built jitted device programs: (power, rhat, closure_scan)."""
+    global _DEVICE_JITS
+    if _DEVICE_JITS is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        def power_math(chain, nfft: int):
+            n_t, n_w, n_d = chain.shape
+            x = chain.reshape(n_t, n_w * n_d)
+            x = x - jnp.mean(x, axis=0, keepdims=True)
+            norm2 = jnp.einsum("tj,tj->j", x, x)
+            x = x / jnp.sqrt(jnp.where(norm2 == 0.0, 1.0, norm2))
+            f = jnp.fft.rfft(x, n=nfft, axis=0)
+            pw = jnp.real(f) ** 2 + jnp.imag(f) ** 2
+            # Walker mean in the chain's own precision (f32 over <=1k walkers:
+            # ~1e-6 relative — far below the tau estimator's statistical error)
+            return jnp.mean(pw.reshape(-1, n_w, n_d), axis=1)
+
+        def rhat_math(chain):
+            n_t = chain.shape[0] - (chain.shape[0] % 2)
+            half = n_t // 2
+            c = chain[:n_t] - jnp.mean(chain[:n_t], axis=(0, 1), keepdims=True)
+            parts = [c[:half], c[half:]]
+            means = jnp.concatenate([jnp.mean(p, axis=0) for p in parts], axis=0)
+            s2 = jnp.concatenate(
+                [jnp.einsum("twd,twd->wd", p, p) for p in parts], axis=0
+            )
+            variances = (s2 - half * means**2) / (half - 1)
+            W = jnp.mean(variances, axis=0)
+            B_over_n = jnp.var(means, axis=0, ddof=1)
+            var_plus = (half - 1) / half * W + B_over_n
+            return jnp.sqrt(var_plus / jnp.where(W > 0, W, jnp.inf))
+
+        @functools.partial(jax.jit, static_argnames=("nfft",))
+        def power_jit(chain, nfft: int):
+            return power_math(chain, nfft)
+
+        rhat_jit = jax.jit(rhat_math)
+
+        @functools.partial(jax.jit, static_argnames=("nfft",))
+        def closure_jit(full, nfft: int):
+            def body(carry, p):
+                ch = jax.lax.dynamic_slice_in_dim(full, p, 1, axis=1)[:, 0]
+                return carry, (power_math(ch, nfft), rhat_math(ch))
+
+            _, out = jax.lax.scan(body, 0, jnp.arange(full.shape[1]))
+            return out
+
+        _DEVICE_JITS = (power_jit, rhat_jit, closure_jit)
+    return _DEVICE_JITS
 
 
 def integrated_time_batched(

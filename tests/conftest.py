@@ -17,14 +17,21 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
+from pathlib import Path
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent XLA:CPU compilation cache: the heavy integration tests compile
+# multi-second scan programs (full likelihood inlined); caching them makes
+# repeat suite runs several minutes faster. Only multi-second compiles are
+# persisted so the cache stays small. Keyed on HLO, so source edits that
+# change the program invalidate entries naturally.
+jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent.parent / ".jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "tests expect an 8-device virtual CPU mesh"
-
-from pathlib import Path
 
 import pytest
 

@@ -241,7 +241,12 @@ def test_batched_closure_checkpoint_resume(closure_setup, monkeypatch):
 
 def test_closure_batch_return_chains_false(closure_setup):
     """return_chains=False keeps chains out of the returned dicts (production
-    memory bound) while the on-disk artifacts stay complete."""
+    memory bound) while the on-disk artifacts stay complete.
+
+    Uses the same batch shape (P=2) and dispatch chunking as the
+    checkpoint-resume test above so the batched init/chunk programs hit the
+    in-process jit cache instead of recompiling (the compile is the entire
+    cost of these tests on the CPU backend)."""
     from bayesian_inference_tpu.mcmc.runner import run_closure_batch
 
     config_path, analysis_name, param, analysis_config = closure_setup
@@ -249,7 +254,10 @@ def test_closure_batch_return_chains_false(closure_setup):
         analysis_name=analysis_name, parameterization=param,
         analysis_config=analysis_config, config_file=str(config_path),
     )
-    out = run_closure_batch(base_cfg, [3], seed=0, return_chains=False)
+    out = run_closure_batch(
+        base_cfg, [3, 4], seed=0, return_chains=False,
+        dispatch_chunk=10, checkpoint_every=10,
+    )
     assert "chain" not in out[3] and "log_prob" not in out[3]
     cfg_i = MCMCConfig(
         analysis_name=analysis_name, parameterization=param,

@@ -527,3 +527,63 @@ def test_bucket_layout_cost_model():
 
     # widths below 8 still pad up to the 8-sublane minimum
     assert bucket_layout([1, 2, 3]) == [(8, [0, 1, 2])]
+
+
+def test_device_acf_stats_match_host(monkeypatch):
+    """device_mean_power / device_split_rhat (accelerator-offloaded spectrum
+    and R-hat, used by the runner on TPU) reproduce the host estimators. On
+    the CPU test backend the device path runs through XLA:CPU — same math,
+    different FFT implementation — so parity is to FFT rounding."""
+    from bayesian_inference_tpu.mcmc import stats
+
+    rng = np.random.default_rng(5)
+    n, W, D = 1500, 8, 3
+    chain = np.zeros((n, W, D))
+    eps = rng.normal(size=(n, W, D))
+    for t in range(1, n):
+        chain[t] = np.array([0.3, 0.7, 0.9]) * chain[t - 1] + eps[t]
+    chain = chain.astype(np.float64)
+
+    monkeypatch.setenv("BIQ_ACF_MAX_LAG", "0")  # host baseline: full length
+    tau_host = stats.integrated_time(chain, quiet=True)
+
+    power, nfft = stats.device_mean_power(chain)
+    assert nfft == 2 * stats._next_pow_two(n)
+    tau_dev = stats.integrated_time(chain, quiet=True, mean_power=(power, nfft))
+    np.testing.assert_allclose(tau_dev, tau_host, rtol=1e-8)
+
+    # pieces-list input (resumed prefix + device slabs) concatenates on device
+    power2, nfft2 = stats.device_mean_power([chain[:700], chain[700:]])
+    np.testing.assert_allclose(power2, power, rtol=1e-9)
+    assert nfft2 == nfft
+
+    rhat_host = stats.split_rhat(chain)
+    rhat_dev = stats.device_split_rhat([chain[:700], chain[700:]])
+    np.testing.assert_allclose(rhat_dev, rhat_host, rtol=1e-10)
+
+
+def test_device_closure_stats_match_host():
+    """device_closure_stats (one scanned on-device program over closure
+    points) reproduces per-point host tau and split_rhat."""
+    from bayesian_inference_tpu.mcmc import stats
+
+    rng = np.random.default_rng(9)
+    n, P, W, D = 600, 3, 4, 2
+    chain = np.zeros((n, P, W, D))
+    eps = rng.normal(size=(n, P, W, D))
+    coef = np.array([0.2, 0.8])
+    for t in range(1, n):
+        chain[t] = coef * chain[t - 1] + eps[t]
+
+    # two slabs exercise the on-device concat
+    powers, nfft, rhats = stats.device_closure_stats([chain[:250], chain[250:]])
+    assert powers.shape == (P, nfft // 2 + 1, D) and rhats.shape == (P, D)
+    for p in range(P):
+        tau_dev, rel_dev = stats.integrated_time_from_power(
+            powers[p], nfft, n, out_dtype=chain.dtype
+        )
+        tau_host = stats.integrated_time(chain[:, p], quiet=True)
+        np.testing.assert_allclose(tau_dev, tau_host, rtol=1e-8)
+        np.testing.assert_allclose(
+            rhats[p], stats.split_rhat(chain[:, p]), rtol=1e-10
+        )
