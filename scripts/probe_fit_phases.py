@@ -1,6 +1,6 @@
 """One-off probe: decompose the GP-fit per-iteration device cost on the TPU.
 
-The fit's stage-1 batch is (n_pc * (n_restarts+1)) * len(_TRIAL_STEPS)
+The fit's stage-1 batch is (n_pc * (n_restarts+1)) * len(spec.trial_steps)
 value_and_grad evaluations of the LML per L-BFGS iteration. This times, as
 separate jitted programs at the production batch shape:
   1. gram assembly only (train_gram_from_sqdiff; transcendental-heavy VPU)

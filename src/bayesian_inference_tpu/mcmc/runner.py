@@ -11,6 +11,7 @@ from __future__ import annotations
 import logging
 import pickle
 import os
+import time as _time
 from typing import Any, Sequence
 
 import jax
@@ -721,10 +722,13 @@ def _device_chain_stats(pieces) -> dict[str, Any]:
         return {}
     if next(iter(dev_arr.devices())).platform == "cpu":
         return {}
-    return {
+    _t = _time.perf_counter()
+    out = {
         "mean_power": stats.device_mean_power(pieces),
         "split_rhat": stats.device_split_rhat(pieces),
     }
+    logger.info(f"device chain stats (power spectrum + R-hat): {_time.perf_counter() - _t:.2f}s")
+    return out
 
 
 def _production_chunk(config: MCMCConfig, checkpoint_every: int | None) -> int | None:

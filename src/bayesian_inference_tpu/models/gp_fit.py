@@ -62,6 +62,16 @@ class GPFitSpec:
     then only the best ``halving_keep`` restarts per PC continue for the
     remaining ``n_iters - halving_iters`` (most random restarts land in bad
     basins; no point polishing them). Set halving_keep=0 to disable.
+
+    ``trial_steps``: step sizes along the L-BFGS direction evaluated per
+    iteration (in ONE widened batch — see :func:`_optimize_single`). The
+    batched LML value_and_grad is the entire fit cost, so the batch widening
+    factor is a direct cost multiplier. CPU x64 studies on the fixture
+    (2026-08-16/17, 12 PCs x 2 seeds x 21 restarts): (1.0,) reaches
+    BIT-IDENTICAL final optima to (1.0, 0.1) and (1.0, 0.3, 0.1, 0.03) — the
+    sigmoid box reparameterization keeps the preconditioned step well-scaled,
+    and the running-best tracker makes an occasional overshoot harmless — so
+    the default is the single full step at half the 2-trial fit cost.
     """
 
     cfg: KernelConfig
@@ -73,6 +83,7 @@ class GPFitSpec:
     alpha_jitter: float = struct.field(pytree_node=False, default=1e-10)
     halving_iters: int = struct.field(pytree_node=False, default=15)
     halving_keep: int = struct.field(pytree_node=False, default=4)
+    trial_steps: tuple = struct.field(pytree_node=False, default=(1.0,))
 
 
 def _to_log_theta(spec: GPFitSpec, u: jax.Array) -> jax.Array:
@@ -92,33 +103,25 @@ def _neg_lml_u(u: jax.Array, spec: GPFitSpec, D2: jax.Array, y: jax.Array) -> ja
     return jnp.where(jnp.isfinite(lml), -lml, jnp.asarray(jnp.inf, lml.dtype))
 
 
-# Parallel-trial step sizes along the L-BFGS direction. A well-scaled L-BFGS
-# step accepts s=1 most iterations; the small trial recovers backtracking's
-# robustness. All trials evaluate in ONE widened batch, so the sequential
-# critical path per iteration is a single value_and_grad chain — vs ~5 chains
-# for a masked backtracking loop under vmap (grad + max_backtracking evals).
-# Two trials reach the same optima as four on the fixture (per-PC LML equal to
-# 0.01 across 21 restarts x 6 PCs, CPU x64 study 2026-08-16) at half the
-# per-iteration cost; the batched-Cholesky LML eval is the entire fit cost.
-_TRIAL_STEPS = (1.0, 0.1)
-
-
 def _optimize_single(
     u0: jax.Array, spec: GPFitSpec, D2: jax.Array, y: jax.Array, n_iters: int
 ) -> tuple[jax.Array, jax.Array]:
     """L-BFGS from one start; returns (best_u, best_neg_lml).
 
     Each iteration: the optax L-BFGS preconditioner produces a direction, then
-    all ``_TRIAL_STEPS`` candidates along it are evaluated (value AND grad) in
-    one widened vmapped call; the lowest objective wins and its gradient seeds
-    the next iteration. The running best is tracked so an occasional uphill
-    move (all trials worse) cannot degrade the returned optimum — matching the
-    multi-restart semantics where only the best basin matters.
+    all ``spec.trial_steps`` candidates along it are evaluated (value AND
+    grad) in one widened vmapped call — vs ~5 sequential value_and_grad
+    chains for a masked backtracking loop under vmap; the lowest objective
+    wins and its gradient seeds the next iteration. The running best is
+    tracked so an occasional uphill move (all trials worse) cannot degrade
+    the returned optimum — matching the multi-restart semantics where only
+    the best basin matters (and making the default single full step safe;
+    see GPFitSpec.trial_steps).
     """
     obj = partial(_neg_lml_u, spec=spec, D2=D2, y=y)
     precond = optax.scale_by_lbfgs(memory_size=8)
     state0 = precond.init(u0)
-    steps = jnp.asarray(_TRIAL_STEPS, u0.dtype)
+    steps = jnp.asarray(spec.trial_steps, u0.dtype)
 
     v0, g0 = jax.value_and_grad(obj)(u0)
     g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
