@@ -83,19 +83,23 @@ def test_parity_on_emulated_posterior(tmp_path):
     def log_prob_np(x):
         return np.asarray(logp_jit(jnp.asarray(x)))
 
-    W, n_steps, burn = 32, 6000, 1500
+    # The numpy oracle steps through a host loop (2 jit calls per step) while
+    # the JAX chain is one scan — so the oracle runs a shorter chain and the
+    # on-chip chain keeps full length; KS/quantile comparisons below handle
+    # the unequal sample sizes.
+    W, n_steps_np, burn_np, n_steps_jax, burn_jax = 32, 3000, 1000, 6000, 1500
     rng = np.random.default_rng(2)
     x0 = rng.uniform(pspec["min"], pspec["max"], (W, 6))
     x0 = 0.5 * (x0 + np.mean([pspec["min"], pspec["max"]], axis=0))
 
-    chain_np, _, acc_np = run_stretch_numpy(rng, log_prob_np, x0, n_steps)
-    out = run_ensemble(jax.random.key(3), like.log_posterior, jnp.asarray(x0), n_steps)
+    chain_np, _, acc_np = run_stretch_numpy(rng, log_prob_np, x0, n_steps_np)
+    out = run_ensemble(jax.random.key(3), like.log_posterior, jnp.asarray(x0), n_steps_jax)
     chain_jax = np.asarray(out["chain"])
     acc_jax = np.asarray(out["acceptance_fraction"])
 
     assert abs(acc_np.mean() - acc_jax.mean()) < 0.06, (acc_np.mean(), acc_jax.mean())
-    s1 = chain_np[burn:].reshape(-1, 6)
-    s2 = chain_jax[burn:].reshape(-1, 6)
+    s1 = chain_np[burn_np:].reshape(-1, 6)
+    s2 = chain_jax[burn_jax:].reshape(-1, 6)
 
     # The emulated posterior is strongly peaked -> large autocorrelation time;
     # compare quantiles (in prior-width units), and KS on tau-thinned samples.
@@ -107,8 +111,8 @@ def test_parity_on_emulated_posterior(tmp_path):
         assert np.all(dq < 0.08), (q, dq)
 
     tau = max(
-        mcmc_stats.integrated_time(chain_np[burn:], quiet=True).max(),
-        mcmc_stats.integrated_time(chain_jax[burn:], quiet=True).max(),
+        mcmc_stats.integrated_time(chain_np[burn_np:], quiet=True).max(),
+        mcmc_stats.integrated_time(chain_jax[burn_jax:], quiet=True).max(),
     )
     thin = max(1, int(np.ceil(tau)))
     pvals = _ks_marginals(s1, s2, thin1=thin, thin2=thin)
