@@ -158,12 +158,20 @@ def plot(config) -> None:
     # annotate-every-design-point variants (reference plot_input_data.py:205-223)
     # are debugging aids, gated behind debug_level > 0.
     debug = int(config.config.get("debug_level", 0) or 0) if hasattr(config, "config") else 0
+    # Optional top-level config key bounding how many correlation grids are
+    # rendered (the numeric outlier sweep always covers all of them); default
+    # None renders every grid like the reference.
+    max_rendered = (
+        config.config.get("plot_correlations_max_rendered")
+        if hasattr(config, "config") else None
+    )
     validation_sets = (False, True) if debug > 0 else (False,)
     for validation_set in validation_sets:
         identified = plot_pairplot_correlations(
             config, plot_dir, observable_grouping=grouping,
             outliers_n_rms=4.0, validation_set=validation_set,
             observables_filename=corr_filename,
+            max_rendered_groups=max_rendered,
         )
         summary: set[int] = set()
         for pts in identified.values():
@@ -177,6 +185,7 @@ def plot(config) -> None:
                 config, plot_dir, observable_grouping=grouping,
                 annotate_design_points=True, validation_set=validation_set,
                 observables_filename=corr_filename,
+                max_rendered_groups=max_rendered,
             )
 
 
@@ -236,6 +245,29 @@ def _distance_from_line(x: np.ndarray, y: np.ndarray, m: float, b: float) -> np.
     return np.abs(m * x - y + b) / np.sqrt(m**2 + 1)
 
 
+def _pairwise_fits(Y: np.ndarray, design_points: np.ndarray, n_rms: float | None):
+    """OLS fit + RMS-outlier identification for every lower-triangle pair of
+    columns of Y. Returns ({(i, j): (a, b, r2, rms, bad_indices)}, outlier_ids).
+    This numeric sweep is the load-bearing output of the correlation study
+    (the candidate design-point exclusion list); rendering is separate so the
+    sweep always covers every group even when rendering is capped."""
+    fits: dict[tuple[int, int], tuple[float, float, float, float, np.ndarray]] = {}
+    outlier_ids: set[int] = set()
+    n = Y.shape[1]
+    for i in range(n):
+        for j in range(i):
+            x, y = Y[:, j], Y[:, i]
+            a, b, r2 = _ols_fit(x, y)
+            rms, bad = 0.0, np.empty(0, dtype=int)
+            if n_rms is not None:
+                dist = _distance_from_line(x, y, m=b, b=a)
+                rms = float(np.sqrt(np.mean(dist**2)))
+                bad = np.where(dist > n_rms * rms)[0]
+                outlier_ids.update(int(design_points[k]) for k in bad)
+            fits[(i, j)] = (a, b, r2, rms, bad)
+    return fits, outlier_ids
+
+
 def plot_pairplot_correlations(
     config,
     plot_dir: str,
@@ -244,6 +276,7 @@ def plot_pairplot_correlations(
     annotate_design_points: bool = False,
     validation_set: bool = False,
     observables_filename: str = "observables.h5",
+    max_rendered_groups: int | None = None,
 ) -> dict[str, set]:
     """Per-bin pair-correlation grids across design points (reference
     plot_input_data.py:323-478 + PairGridWithRegression :494-692, statsmodels
@@ -252,6 +285,12 @@ def plot_pairplot_correlations(
     perpendicular RMS distance from the fit exceeds n_RMS * RMS are marked and
     annotated with their design-point index and +-n_RMS bands are drawn; with
     ``annotate_design_points``, every point carries its design index.
+
+    ``max_rendered_groups`` bounds how many grids are RENDERED (matplotlib
+    dominates the cost at hundreds of panels); the numeric outlier sweep always
+    covers every group, so the returned exclusion candidates are unaffected.
+    Skipped renders are logged. Default None renders everything (reference
+    behavior).
 
     Returns {grid_label: set of outlier design-point ids}.
     """
@@ -268,29 +307,39 @@ def plot_pairplot_correlations(
         base += "__outliers"
 
     identified_outliers: dict[str, set[int]] = {}
+    n_rendered = n_skipped = 0
     for label, title, Y, design_points, cols in observable_grouping.gen(
         config, observables_filename, validation_set
     ):
         n = Y.shape[1]
         if n < 2:
             continue
-        fig, axes = plt.subplots(n, n, figsize=(1.9 * n, 1.9 * n), squeeze=False)
-        grid_outliers: set[int] = set()
+        fits, grid_outliers = _pairwise_fits(Y, design_points, outliers_n_rms)
+        if grid_outliers:
+            identified_outliers[label] = grid_outliers
+        if max_rendered_groups is not None and n_rendered >= max_rendered_groups:
+            n_skipped += 1
+            continue
+        n_rendered += 1
+
+        # Build only the axes that carry content (diagonal + lower triangle);
+        # the upper triangle would be blank and axes construction is ~40% of
+        # figure cost at this panel count.
+        fig = plt.figure(figsize=(1.9 * n, 1.9 * n))
+        gs = fig.add_gridspec(n, n)
         for i in range(n):
-            for j in range(n):
-                ax = axes[i][j]
+            for j in range(i + 1):
+                ax = fig.add_subplot(gs[i, j])
+                ax.locator_params(nbins=4)
                 if i == j:
                     ax.hist(Y[:, i], bins=20, color="steelblue")
-                elif i > j:
+                else:
                     x, y = Y[:, j], Y[:, i]
                     ax.plot(x, y, ".", ms=2, color="steelblue")
-                    a, b, r2 = _ols_fit(x, y)
+                    a, b, r2, rms, bad = fits[(i, j)]
                     xs = np.linspace(x.min(), x.max(), 100)
                     if outliers_n_rms is not None:
                         ax.plot(xs, a + b * xs, "r-", lw=0.8)
-                        dist = _distance_from_line(x, y, m=b, b=a)
-                        rms = np.sqrt(np.mean(dist**2))
-                        bad = np.where(dist > outliers_n_rms * rms)[0]
                         # +-n_RMS bands around the fit for reference
                         ax.plot(xs, a + b * xs + outliers_n_rms * rms, "r--", lw=0.6)
                         ax.plot(xs, a + b * xs - outliers_n_rms * rms, "r--", lw=0.6)
@@ -299,13 +348,10 @@ def plot_pairplot_correlations(
                                 str(design_points[k]), (x[k], y[k]),
                                 fontsize=5, color="tab:blue",
                             )
-                            grid_outliers.add(int(design_points[k]))
                         ax.text(0.03, 0.9, f"$R^2$={r2:.2f}", transform=ax.transAxes, fontsize=5)
                     if annotate_design_points:
                         for k in range(len(x)):
                             ax.annotate(str(design_points[k]), (x[k], y[k]), fontsize=5, color="red")
-                else:
-                    ax.axis("off")
                 ax.tick_params(labelsize=4)
                 if i == n - 1:
                     ax.set_xlabel(cols[j], fontsize=5)
@@ -319,6 +365,10 @@ def plot_pairplot_correlations(
             fig.subplots_adjust(hspace=0.35, wspace=0.35, top=0.94)
         fig.savefig(os.path.join(plot_dir, f"{base}__{label}.pdf"))
         plt.close(fig)
-        if grid_outliers:
-            identified_outliers[label] = grid_outliers
+    if n_skipped:
+        logger.info(
+            f"pairplot correlations ({base}): rendered {n_rendered} grids, "
+            f"skipped rendering {n_skipped} (max_rendered_groups="
+            f"{max_rendered_groups}); outlier sweep covered all groups"
+        )
     return identified_outliers

@@ -23,6 +23,9 @@ def test_steer_end_to_end(tmp_path):
     cfg = yaml.safe_load(config_path.read_text())
     cfg["preprocess_input_data"] = True
     cfg["plot"] = {k: True for k in cfg["plot"]}
+    # Bound correlation-grid rendering (the numeric outlier sweep still covers
+    # every group); full rendering is exercised by the dedicated pairplot test.
+    cfg["plot_correlations_max_rendered"] = 2
     config_path.write_text(yaml.safe_dump(cfg))
 
     steer = SteerAnalysis(config_file=str(config_path))
@@ -166,12 +169,18 @@ def test_input_data_pairplot_correlations(tmp_path):
     )
     assert list(Path(tmp_path).glob("*emulator_groups__g*.pdf"))
 
-    # fixed-size mode with annotation
-    plot_pairplot_correlations(
+    # fixed-size mode with annotation; rendering capped but the numeric
+    # outlier sweep must still cover every chunk
+    out_fixed = plot_pairplot_correlations(
         cfg, str(tmp_path), ObservableGrouping(fixed_size=5),
-        annotate_design_points=True,
+        annotate_design_points=True, outliers_n_rms=2.0,
+        max_rendered_groups=1,
     )
-    assert list(Path(tmp_path).glob("*observable_group_by_5__annotated__chunk_0.pdf"))
+    assert list(Path(tmp_path).glob("*observable_group_by_5__annotated__outliers__chunk_0.pdf"))
+    # only chunk_0 rendered...
+    assert not list(Path(tmp_path).glob("*observable_group_by_5__annotated__outliers__chunk_1.pdf"))
+    # ...but outliers identified beyond the rendered chunk (28 features -> 6 chunks)
+    assert any(k != "chunk_0" for k in out_fixed)
 
 
 def test_across_analyses_overlay_prior_band_and_labels(tmp_path):
