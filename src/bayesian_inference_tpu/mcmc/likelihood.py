@@ -155,10 +155,15 @@ class EmulatorLikelihood:
 
     # ----------------------------------------------------------------------------
     def gp_eval(self, theta: jax.Array) -> tuple[jax.Array, jax.Array]:
-        """PC-space means and variances for all groups, concatenated: (W, k_total)."""
+        """PC-space means and variances for all groups, concatenated: (W, k_total).
+
+        Every group's stacked GPs share the analysis design matrix, so the
+        shared-sqdiff batched predict applies (gp.predict_all_shared) — the
+        per-dim difference tensor is computed once per group, not per PC.
+        """
         zs, vs = [], []
         for g in self.groups:
-            z, v = gp_mod.predict_all(g.cfg, g.posts, theta)
+            z, v = gp_mod.predict_all_shared(g.cfg, g.posts, theta)
             zs.append(z)
             vs.append(v)
         return jnp.concatenate(zs, axis=1), jnp.concatenate(vs, axis=1)

@@ -119,6 +119,42 @@ def predict_all(cfg: KernelConfig, posts: GPPosterior, theta: jax.Array) -> tupl
     return mean.T, var.T
 
 
+def predict_all_shared(
+    cfg: KernelConfig, posts: GPPosterior, theta: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """predict_all for stacked GPs sharing one training-input set.
+
+    The per-dimension squared differences (B, N, ndim) are identical for every
+    PC — only the length-scale contraction differs — so they are computed ONCE
+    and contracted per PC as an einsum (the same shared-sqdiff trick the fit
+    objective uses, ops/gram.py:69-86). vmap(predict) instead materializes a
+    (k, B, N, ndim) difference tensor through HBM every sampler step; at the
+    production shapes (41 PCs x 50 walkers x 200 design points) this path cuts
+    that traffic ~ndim*k-fold. Identical math to predict_all modulo summation
+    order (guarded by a parity test).
+
+    Requires identical posts.X across the stacked axis (all PCs of an
+    emulation group share the design matrix; build_likelihood's group fusion
+    preserves this).
+    """
+    X = posts.X[0]  # (N, d), shared across the stacked axis
+    diff = theta[:, None, :] - X[None, :, :]          # (B, N, d) — PC-independent
+    D2 = diff * diff
+    w = jnp.exp(-2.0 * posts.params.log_length_scale)  # (k, d) = 1/ls^2
+    # Distance precision feeds the Cholesky-solved alpha/Kinv contractions;
+    # keep the d-contraction at HIGHEST like _sqdist_from_sqdiff.
+    sq = jnp.einsum("bnd,kd->kbn", D2, w, precision=jax.lax.Precision.HIGHEST)
+    from bayesian_inference_tpu.ops.gram import matern_from_sqdist
+
+    ks = matern_from_sqdist(sq, cfg.nu)               # (k, B, N)
+    if cfg.with_constant:
+        ks = ks + jnp.exp(posts.params.log_constant)[:, None, None]
+    mean = jnp.einsum("kbn,kn->bk", ks, posts.alpha)
+    t = jnp.einsum("kbn,knm->kbm", ks, posts.Kinv)
+    var = posts.prior_var[None, :] - jnp.einsum("kbn,kbn->bk", t, ks)
+    return mean, jnp.maximum(var, 0.0)
+
+
 # Jitted wrappers for host-facing (eager) callers: on TPU every eager op
 # dispatch is expensive, so setup factorizations and batch predictions must
 # each be a single compiled program.

@@ -91,6 +91,26 @@ def test_predict_all_stacks(design_and_pcs):
     np.testing.assert_allclose(np.asarray(mean[:, 0]), np.asarray(m0), rtol=1e-12)
 
 
+def test_predict_all_shared_matches_predict_all(design_and_pcs):
+    """The shared-sqdiff batched predict (the sampler hot path) must agree
+    with the per-PC vmapped path; per-PC length scales exercise the einsum
+    contraction."""
+    X, Y_pca = design_and_pcs
+    k = 4
+    span = X.max(axis=0) - X.min(axis=0)
+    cfg = KernelConfig(nu=1.5, with_noise=True, with_constant=True)
+    posts = jax.vmap(
+        lambda y, s: gp_mod.posterior_from_params(
+            cfg, KernelParams.create(span * s, noise=0.25 * s, constant=1.0 + s), jnp.asarray(X), y, 1e-10
+        )
+    )(jnp.asarray(Y_pca[:, :k].T), jnp.asarray(np.linspace(0.5, 1.5, k)))
+    theta = jnp.asarray(X[:9] * 0.97 + 0.02)
+    m_ref, v_ref = gp_mod.predict_all(cfg, posts, theta)
+    m, v = gp_mod.predict_all_shared(cfg, posts, theta)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-10, atol=1e-13)
+
+
 def test_fit_beats_or_matches_sklearn_lml(design_and_pcs):
     """Optimizer parity: our vmapped multi-restart fit must reach an LML at
     least as good as sklearn's L-BFGS-B (small tolerance for boundary optima)."""
