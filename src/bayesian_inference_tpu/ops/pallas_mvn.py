@@ -133,6 +133,80 @@ def _fused_kernel(nb: int, u_ref, d_ref, z_ref, v_ref, out_ref):
     out_ref[0] = jnp.broadcast_to(-0.5 * quad - half_logdet, (8, lanes))
 
 
+def _fused_kernel_packed(nb: int, m: int, wt: int, u_ref, d_ref, z_ref, v_ref, out_ref):
+    """Lane-packed fused kernel: m observable blocks share one program.
+
+    The walker batch in the sampler is HALF the ensemble (50 at the production
+    100-walker config) while the f32 lane width is 128, so the plain kernel
+    runs the O(nb^3) Cholesky sweep at ~39% lane utilization. Here z/v arrive
+    as m tiled copies of a wt-walker segment (m*wt = 128) and each program
+    factorizes m different observable blocks side by side: segment j's lanes
+    carry block j's residual/covariance, selected per column with a lane-id
+    mask. Assembly matmul work is unchanged (same dots, fewer programs); the
+    elementwise Cholesky work per observable drops by m.
+    """
+    z = z_ref[:]            # (k+1, m*wt)
+    v = v_ref[:]
+    f32 = jnp.float32
+    lanes = z.shape[-1]
+    seg = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 1) // wt
+
+    b = jax.lax.dot(u_ref[0, 0], z, precision=jax.lax.Precision.HIGHEST)
+    for j in range(1, m):
+        bj = jax.lax.dot(u_ref[0, j], z, precision=jax.lax.Precision.HIGHEST)
+        b = jnp.where(seg == j, bj, b)
+    cols = []
+    for g in range(nb):
+        U0 = u_ref[0, 0]
+        col = d_ref[0, 0][:, g : g + 1] + jax.lax.dot(
+            U0 * U0[g : g + 1, :], v, precision=jax.lax.Precision.HIGHEST
+        )
+        for j in range(1, m):
+            Uj = u_ref[0, j]
+            cj = d_ref[0, j][:, g : g + 1] + jax.lax.dot(
+                Uj * Uj[g : g + 1, :], v, precision=jax.lax.Precision.HIGHEST
+            )
+            col = jnp.where(seg == j, cj, col)
+        cols.append(col)
+
+    quad = jnp.zeros((1, lanes), f32)
+    half_logdet = jnp.zeros((1, lanes), f32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 0)
+    for j in range(nb):
+        pivot = cols[j][j : j + 1, :]
+        inv_p = jax.lax.rsqrt(pivot)
+        col = cols[j] * inv_p
+        col = jnp.where(row_ids >= j, col, jnp.zeros_like(col))
+        y_j = b[j : j + 1, :] * inv_p
+        b = b - col * y_j
+        quad = quad + y_j * y_j
+        half_logdet = half_logdet + 0.5 * jnp.log(pivot)
+        for g in range(j + 1, nb):
+            cols[g] = cols[g] - col * col[g : g + 1, :]
+
+    out_ref[0] = jnp.broadcast_to(-0.5 * quad - half_logdet, (8, lanes))
+
+
+@functools.partial(jax.jit, static_argnames=("wt", "interpret"))
+def _fused_packed_mvn_pallas(Up, Dp, zT, vT, wt: int, interpret: bool = False):
+    """(n_grp,m,nb,k+1),(n_grp,m,nb,nb),(k+1,128),(k+1,128) -> (n_grp, 8, 128)."""
+    n_grp, m, nb, k1 = Up.shape
+    kernel = functools.partial(_fused_kernel_packed, nb, m, wt)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_grp,),
+        out_shape=jax.ShapeDtypeStruct((n_grp, 8, m * wt), Up.dtype),
+        in_specs=[
+            pl.BlockSpec((1, m, nb, k1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, nb, nb), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k1, m * wt), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k1, m * wt), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, m * wt), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(Up, Dp, zT, vT)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_block_mvn_pallas(Ue, D, zT, vT, interpret: bool = False):
     """(n_obs,nb,k+1),(n_obs,nb,nb),(k+1,Wp),(k+1,Wp) -> (n_obs, Wp)."""
@@ -186,14 +260,53 @@ def fused_block_mvn_loglike(
         return jnp.sum(tiny_mvn_loglike(dY, C), axis=-1)
 
     def pallas_path(U, D, d0, z, v, *, interp=False):
+        import os as _os
+
         # Fold d0 into U's last column (ones-row in z, zeros-row in v): the
         # kernel then sees only (Ue, D, z', v') with everything 2D.
         Ue = jnp.concatenate([U, d0[:, :, None]], axis=-1)
-        pad = (-W) % 128
         ones = jnp.ones((W, 1), z.dtype)
         zeros = jnp.zeros((W, 1), v.dtype)
         ze = jnp.concatenate([z, ones], axis=1)
         ve = jnp.concatenate([v, zeros], axis=1)
+
+        # Lane-packed variant: narrow walker batches (the sampler evaluates
+        # HALF the ensemble, e.g. 50 of 100 walkers) pack m observable blocks
+        # onto the 128 lanes — m-fold less Cholesky sweep work per observable.
+        # BIQ_MVN_PACK=0 forces the plain one-block-per-program kernel (A/B).
+        if W <= 64 and _os.environ.get("BIQ_MVN_PACK", "1") != "0":
+            # segment width: smallest 128-divisor >= W (floor 16 caps the
+            # per-program unrolling at m=8)
+            wt = next(t for t in (16, 32, 64) if t >= W)
+            m = 128 // wt
+            pad_w = wt - W
+            if pad_w:
+                ze_p = jnp.concatenate([ze, jnp.zeros((pad_w, k + 1), z.dtype)], axis=0)
+                ve_p = jnp.concatenate([ve, jnp.zeros((pad_w, k + 1), v.dtype)], axis=0)
+            else:
+                ze_p, ve_p = ze, ve
+            zT = jnp.tile(ze_p.T, (1, m))     # (k+1, 128): m walker-segment copies
+            vT = jnp.tile(ve_p.T, (1, m))
+            pad_b = (-n_obs) % m
+            Ue_p, D_p = Ue, D
+            if pad_b:
+                # padded blocks: identity covariance, zero residual -> ll 0
+                Ue_p = jnp.concatenate(
+                    [Ue, jnp.zeros((pad_b, nb, k + 1), U.dtype)], axis=0
+                )
+                D_p = jnp.concatenate(
+                    [D, jnp.broadcast_to(jnp.eye(nb, dtype=D.dtype), (pad_b, nb, nb))], axis=0
+                )
+            n_grp = (n_obs + pad_b) // m
+            ll = _fused_packed_mvn_pallas(
+                Ue_p.reshape(n_grp, m, nb, k + 1),
+                D_p.reshape(n_grp, m, nb, nb),
+                zT, vT, wt=wt, interpret=interp,
+            )
+            per_obs = ll[:, 0, :].reshape(n_grp * m, wt)
+            return jnp.sum(per_obs[:, :W], axis=0)
+
+        pad = (-W) % 128
         if pad:
             ze = jnp.concatenate([ze, jnp.zeros((pad, k + 1), z.dtype)], axis=0)
             ve = jnp.concatenate([ve, jnp.zeros((pad, k + 1), v.dtype)], axis=0)

@@ -114,6 +114,32 @@ def test_fused_block_mvn_vmap_over_d0():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-8)
 
 
+def test_fused_packed_mvn_interpret_matches_scipy():
+    """Lane-packed fused kernel (m observable blocks per program): parity in
+    interpreter mode at the production half-ensemble width (W=50 -> wt=64,
+    m=2) including an odd block count (observable padding)."""
+    from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike
+
+    U, D, d0, z, v = _random_fused(W=50, B=5, nb=11, k=9)  # B=5 pads to 6 groups of 2
+    ours = np.asarray(
+        fused_block_mvn_loglike(*(jnp.asarray(a) for a in (U, D, d0, z, v)), interpret=True)
+    )
+    np.testing.assert_allclose(ours, _fused_ref(U, D, d0, z, v), rtol=1e-8)
+
+
+def test_fused_packed_mvn_high_packing_factor():
+    """Small walker batches pack at m=8 (wt=16); exact segment-boundary width
+    (W=16 -> no walker padding) and W=13 (padding inside each segment)."""
+    from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike
+
+    for W in (16, 13):
+        U, D, d0, z, v = _random_fused(W=W, B=9, nb=7, k=6, seed=11 + W)
+        ours = np.asarray(
+            fused_block_mvn_loglike(*(jnp.asarray(a) for a in (U, D, d0, z, v)), interpret=True)
+        )
+        np.testing.assert_allclose(ours, _fused_ref(U, D, d0, z, v), rtol=1e-8)
+
+
 def test_fused_block_mvn_dispatch_cpu_path():
     from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike
 
