@@ -1,7 +1,13 @@
 """One-off probe: decompose per-step sampler cost on the TPU.
 
-Times 5000-step scans of the stretch move with three likelihood variants:
-full (gp_eval + fused kernel), kernel-only (constant z,v), and gp_eval-only.
+Times 5000-step scans of the stretch move with these likelihood variants:
+full (gp_eval + fused kernel), kernel-only (constant z,v), gp_eval-only,
+gp_eval via the legacy per-PC vmap (predict_all), and a no-likelihood
+baseline (scan bookkeeping only). Set BIQ_MVN_PACK=0 before launch to A/B
+the lane-packed fused kernel against the plain one.
+
+Usage: run bench.py first (leaves fitted artifacts in output/bench_*), then
+  python scripts/probe_step.py [fixture|production]
 """
 from __future__ import annotations
 
@@ -25,7 +31,10 @@ from bayesian_inference_tpu.mcmc.stretch import init_state, run_chunk
 from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike
 from bayesian_inference_tpu.pipeline.configs import EmulationConfig
 
-workdir = REPO / "output" / "bench_run"
+profile = sys.argv[1] if len(sys.argv) > 1 else "fixture"
+workdir = REPO / "output" / f"bench_{profile}"
+if not workdir.exists():
+    workdir = REPO / "output" / "bench_run"  # legacy layout
 cfg = yaml.safe_load((workdir / "bench.yaml").read_text())
 emu_config = EmulationConfig.from_config_file(
     analysis_name="bench", parameterization="exponential",
@@ -69,8 +78,33 @@ def lp_gp_only(x):
     return jnp.sum(z, axis=-1) - jnp.sum(v, axis=-1)
 
 
+def lp_gp_only_vmap(x):
+    # legacy per-PC vmapped predict (pre shared-sqdiff) for A/B
+    from bayesian_inference_tpu.models import gp as gp_mod
+
+    zs, vs = [], []
+    for g in like.groups:
+        z, v = gp_mod.predict_all(g.cfg, g.posts, x)
+        zs.append(z)
+        vs.append(v)
+    z = jnp.concatenate(zs, axis=1)
+    v = jnp.concatenate(vs, axis=1)
+    return jnp.sum(z, axis=-1) - jnp.sum(v, axis=-1)
+
+
+def lp_none(x):
+    # scan/bookkeeping floor: a data-dependent but near-free "likelihood"
+    return -jnp.sum(x * x, axis=-1)
+
+
 N = 5000
-for tag, fn in [("full", lp_full), ("kernel-only", lp_kernel_only), ("gp-only", lp_gp_only)]:
+for tag, fn in [
+    ("full", lp_full),
+    ("kernel-only", lp_kernel_only),
+    ("gp-only", lp_gp_only),
+    ("gp-only-vmap", lp_gp_only_vmap),
+    ("no-likelihood", lp_none),
+]:
     st = init_state(key, fn, x0)
     st, ys = run_chunk(st, fn, N)
     np.asarray(ys[2])  # materialize (first call: compile+exec)
