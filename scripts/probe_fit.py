@@ -1,13 +1,18 @@
-"""One-off probe: decompose GP-fit wall time (program load vs exec) on the TPU.
+"""One-off probe: decompose the GP-fit cost on the TPU.
 
-Runs fit_emulators twice in one process with force_retrain: the second call
-hits the in-process jit cache, so it measures pure exec + artifact IO.
+The fused fit (models/gp_fit.py) spends its time in the vmapped LML
+value_and_grad: gram build (elementwise from shared sqdiff) + batched
+Cholesky forward + Cholesky backward (triangular solves). This times each
+piece at the production fit batch shape (k*R instances, N design points) to
+decide whether a Pallas blocked-Cholesky (+custom VJP) is worth building.
+
+Usage: python scripts/probe_fit.py [B] [N]   (defaults 2091 200)
 """
 from __future__ import annotations
 
-import os
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 REPO = Path(__file__).parent.parent
@@ -17,29 +22,92 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 import logging
-logging.basicConfig(level=logging.WARNING, stream=sys.stderr)
 
-import yaml
+logging.basicConfig(level=logging.WARNING)
+import jax.numpy as jnp
+import numpy as np
 
-from bayesian_inference_tpu.models import emulator
-from bayesian_inference_tpu.pipeline.configs import EmulationConfig
-
-workdir = REPO / "output" / "bench_run"
-cfg = yaml.safe_load((workdir / "bench.yaml").read_text())
-analysis_config = cfg["analyses"]["bench"]
-
-emu_config = EmulationConfig.from_config_file(
-    analysis_name="bench", parameterization="exponential",
-    config_file=str(workdir / "bench.yaml"), analysis_config=analysis_config,
+from bayesian_inference_tpu.models.gp import log_marginal_likelihood_sqdiff
+from bayesian_inference_tpu.ops.gram import (
+    KernelConfig,
+    KernelParams,
+    pairwise_sqdiff,
+    train_gram_from_sqdiff,
 )
 
-for i in range(3):
-    for g in emu_config.emulation_groups_config.values():
-        if os.path.exists(g.emulation_outputfile):
-            os.remove(g.emulation_outputfile)
-    t0 = time.perf_counter()
-    emulator.fit_emulators(emu_config, n_opt_iters=int(os.environ.get("BENCH_OPT_ITERS", "60")))
-    jax.effects_barrier()
-    print(f"fit call {i}: {time.perf_counter() - t0:.2f}s", file=sys.stderr, flush=True)
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 2091
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+d = 6
+cfg = KernelConfig(nu=1.5, with_noise=True)
+
+rng = np.random.default_rng(0)
+X = rng.uniform(0.0, 1.0, (N, d)).astype(np.float32)
+D2 = jnp.asarray(pairwise_sqdiff(jnp.asarray(X)))
+y = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
+log_ls = jnp.asarray(rng.uniform(-1.0, 1.0, (B, d)).astype(np.float32))
+log_noise = jnp.asarray(rng.uniform(-2.0, -1.0, (B,)).astype(np.float32))
+
+
+def params_of(i):
+    return KernelParams(
+        log_length_scale=log_ls[i], log_noise=log_noise[i], log_constant=jnp.zeros((), jnp.float32)
+    )
+
+
+params = jax.vmap(params_of)(jnp.arange(B))
+
+
+@jax.jit
+def gram_only(params):
+    K = jax.vmap(lambda p: train_gram_from_sqdiff(cfg, p, D2, 1e-6))(params)
+    return jnp.sum(K)
+
+
+@jax.jit
+def gram_plus_chol(params):
+    K = jax.vmap(lambda p: train_gram_from_sqdiff(cfg, p, D2, 1e-6))(params)
+    L = jnp.linalg.cholesky(K)
+    return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+
+
+def _lml(p, yy):
+    return log_marginal_likelihood_sqdiff(cfg, p, D2, yy, 1e-6)
+
+
+@jax.jit
+def lml_value(params, y):
+    return jnp.sum(jax.vmap(_lml)(params, y))
+
+
+@jax.jit
+def lml_value_and_grad(params, y):
+    vals, grads = jax.vmap(jax.value_and_grad(_lml))(params, y)
+    return jnp.sum(vals), jax.tree.map(jnp.sum, grads)
+
+
+def timed(tag, fn, *args, reps=3):
+    out = fn(*args)
+    jax.tree.map(lambda x: np.asarray(x), out)  # warm (compile + first exec)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree.map(lambda x: np.asarray(x), out)
+        ts.append(time.perf_counter() - t0)
+    print(f"{tag}: median {np.median(ts)*1e3:.1f} ms (min {min(ts)*1e3:.1f})", file=sys.stderr)
+    return np.median(ts)
+
+
+print(f"# probe_fit: B={B} N={N} on {jax.devices()[0]}", file=sys.stderr)
+t_gram = timed("gram build only", gram_only, params)
+t_chol = timed("gram + cholesky fwd", gram_plus_chol, params)
+t_val = timed("full LML value", lml_value, params, y)
+t_vg = timed("full LML value+grad", lml_value_and_grad, params, y)
+chol_flops = B * N**3 / 3
+print(
+    f"# chol fwd ~{(t_chol - t_gram)*1e3:.1f} ms -> "
+    f"{chol_flops / max(t_chol - t_gram, 1e-9) / 1e9:.0f} GFLOP/s; "
+    f"backward adds {(t_vg - t_val)*1e3:.1f} ms",
+    file=sys.stderr,
+)
