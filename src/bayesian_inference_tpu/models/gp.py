@@ -13,6 +13,8 @@ Conventions match sklearn (normalize_y=False):
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -61,6 +63,88 @@ def log_marginal_likelihood_sqdiff(
     a = jax.scipy.linalg.cho_solve((L, True), y)
     n = y.shape[0]
     return -0.5 * (y @ a) - jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * n * _LOG_2PI
+
+
+def _dK_dsq(cfg: KernelConfig, sq: jax.Array) -> jax.Array:
+    """d(kernel)/d(scaled squared distance), elementwise (for the closed-form
+    LML gradient). Matches ops/gram.matern_from_sqdist including its sqrt
+    guard; the diagonal's unbounded nu=0.5 value is always contracted against
+    a zero squared-difference, so it never propagates."""
+    if cfg.nu is None:
+        return -0.5 * jnp.exp(-0.5 * sq)
+    d = jnp.sqrt(sq + 1e-36)
+    if cfg.nu == 0.5:
+        return -jnp.exp(-d) / (2.0 * d)
+    if cfg.nu == 1.5:
+        t = jnp.sqrt(3.0) * d
+        return -1.5 * jnp.exp(-t)
+    if cfg.nu == 2.5:
+        t = jnp.sqrt(5.0) * d
+        return -(5.0 / 6.0) * (1.0 + t) * jnp.exp(-t)
+    raise ValueError(f"Unsupported Matern nu={cfg.nu}")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def log_marginal_likelihood_matmul(
+    cfg: KernelConfig, params: KernelParams, D2: jax.Array, y: jax.Array, alpha_jitter
+) -> jax.Array:
+    """LML with a matmul-only factorization and a closed-form gradient.
+
+    Value-identical (up to fp reordering) to
+    :func:`log_marginal_likelihood_sqdiff`, but the Cholesky runs through
+    ops/blocked_cholesky (batched MXU panels + one small Pallas kernel) and
+    the gradient uses dLML/dK = (alpha alpha^T - K^{-1})/2 chained through
+    analytic dK/dtheta — no TriangularSolve and no Cholesky backward pass
+    anywhere (XLA lowers both far off MXU peak at the fit's thousands-of-
+    small-matrices shapes). Nested-vmap safe: the factorization collapses all
+    vmapped axes into one lane batch (blocked_cholesky.chol_inv_batched).
+    """
+    lml, _ = _lml_matmul_fwd(cfg, params, D2, y, alpha_jitter)
+    return lml
+
+
+def _lml_matmul_fwd(cfg, params, D2, y, alpha_jitter):
+    from bayesian_inference_tpu.ops.blocked_cholesky import chol_inv_batched
+    from bayesian_inference_tpu.ops.gram import train_gram_from_sqdiff
+
+    K = train_gram_from_sqdiff(cfg, params, D2, alpha_jitter)
+    invL, half_logdet = chol_inv_batched(K[None])
+    invL, half_logdet = invL[0], half_logdet[0]
+    hi = jax.lax.Precision.HIGHEST
+    alpha = jnp.einsum(
+        "ji,j->i", invL, jnp.einsum("ij,j->i", invL, y, precision=hi), precision=hi
+    )
+    n = y.shape[0]
+    lml = -0.5 * (y @ alpha) - half_logdet - 0.5 * n * _LOG_2PI
+    return lml, (params, D2, y, alpha, invL)
+
+
+def _lml_matmul_bwd(cfg, res, g):
+    params, D2, y, alpha, invL = res
+    hi = jax.lax.Precision.HIGHEST
+    Kinv = jnp.einsum("ki,kj->ij", invL, invL, precision=hi)
+    G = 0.5 * (alpha[:, None] * alpha[None, :] - Kinv)
+
+    w = jnp.exp(-2.0 * params.log_length_scale)              # (d,) = 1/ls^2
+    sq = jnp.einsum("ijk,k->ij", D2, w, precision=hi)
+    H = G * _dK_dsq(cfg, sq)
+    d_log_ls = g * (-2.0) * w * jnp.einsum("ij,ijk->k", H, D2, precision=hi)
+    zero = jnp.zeros((), G.dtype)
+    d_log_noise = (
+        g * jnp.exp(params.log_noise) * jnp.trace(G) if cfg.with_noise else zero
+    )
+    d_log_constant = (
+        g * jnp.exp(params.log_constant) * jnp.sum(G) if cfg.with_constant else zero
+    )
+    d_params = KernelParams(
+        log_length_scale=d_log_ls, log_noise=d_log_noise, log_constant=d_log_constant
+    )
+    # dLML/dy = -K^{-1} y; dLML/d(jitter) = tr(G). D2 is a fit constant (its
+    # cotangent is dead code in every caller and DCE'd).
+    return (d_params, jnp.zeros_like(D2), -g * alpha, g * jnp.trace(G))
+
+
+log_marginal_likelihood_matmul.defvjp(_lml_matmul_fwd, _lml_matmul_bwd)
 
 
 @struct.dataclass

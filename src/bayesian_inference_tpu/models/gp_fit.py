@@ -84,6 +84,12 @@ class GPFitSpec:
     halving_iters: int = struct.field(pytree_node=False, default=15)
     halving_keep: int = struct.field(pytree_node=False, default=4)
     trial_steps: tuple = struct.field(pytree_node=False, default=(1.0,))
+    # LML implementation: "autodiff" = jnp.linalg.cholesky + AD backward
+    # (robust host default); "matmul" = blocked MXU factorization with the
+    # closed-form gradient (ops/blocked_cholesky + gp.log_marginal_likelihood
+    # _matmul) — the TPU fit path. Value/grad parity is pinned by
+    # tests/test_gp.py::test_lml_matmul_matches_autodiff.
+    lml_impl: str = struct.field(pytree_node=False, default="autodiff")
 
 
 def _to_log_theta(spec: GPFitSpec, u: jax.Array) -> jax.Array:
@@ -98,7 +104,12 @@ def _to_u(spec: GPFitSpec, log_theta: jax.Array) -> jax.Array:
 
 def _neg_lml_u(u: jax.Array, spec: GPFitSpec, D2: jax.Array, y: jax.Array) -> jax.Array:
     params = unpack_params(spec.cfg, _to_log_theta(spec, u), D2.shape[-1])
-    lml = log_marginal_likelihood_sqdiff(spec.cfg, params, D2, y, spec.alpha_jitter)
+    if spec.lml_impl == "matmul":
+        from bayesian_inference_tpu.models.gp import log_marginal_likelihood_matmul
+
+        lml = log_marginal_likelihood_matmul(spec.cfg, params, D2, y, spec.alpha_jitter)
+    else:
+        lml = log_marginal_likelihood_sqdiff(spec.cfg, params, D2, y, spec.alpha_jitter)
     # Guard non-finite (ill-conditioned gram at extreme hyperparams)
     return jnp.where(jnp.isfinite(lml), -lml, jnp.asarray(jnp.inf, lml.dtype))
 
@@ -250,6 +261,7 @@ def spec_from_reference_config(
     n_iters: int = 100,
     alpha_jitter: float = 1e-10,
     dtype=jnp.float64,
+    lml_impl: str = "auto",
 ) -> GPFitSpec:
     """Build a GPFitSpec with the reference's kernel initialization semantics
     (emulation.py:132-162): initial length scale = prior range (max - min),
@@ -271,6 +283,15 @@ def spec_from_reference_config(
         lo_parts.append(np.log([noise_level_bounds[0]]))
         hi_parts.append(np.log([noise_level_bounds[1]]))
         theta0_parts.append(np.log([noise_level]))
+    if lml_impl == "auto":
+        # matmul-only path on TPU (blocked factorization + closed-form grad);
+        # autodiff over jnp.linalg.cholesky elsewhere. BIQ_FIT_LML overrides
+        # for A/B measurement.
+        import os
+
+        lml_impl = os.environ.get("BIQ_FIT_LML") or (
+            "matmul" if jax.default_backend() == "tpu" else "autodiff"
+        )
     return GPFitSpec(
         cfg=cfg,
         theta0=np.concatenate(theta0_parts).astype(np_dtype),
@@ -279,4 +300,5 @@ def spec_from_reference_config(
         n_restarts=n_restarts,
         n_iters=n_iters,
         alpha_jitter=alpha_jitter,
+        lml_impl=lml_impl,
     )

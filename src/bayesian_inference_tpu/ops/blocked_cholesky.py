@@ -1,0 +1,243 @@
+"""Batched blocked Cholesky + triangular inverse, built for the GP-fit batch.
+
+The fit objective factorizes thousands of (N, N) kernel matrices per L-BFGS
+iteration (N ~ 200 design points, batch ~ 2,000 PC x restart instances).
+XLA's Cholesky and TriangularSolve lower to sequential panel loops that run
+far off MXU peak at these shapes, and the LML *gradient* doubles the cost
+through the Cholesky backward pass (reference counterpart: sklearn GPR's
+L-BFGS restarts over LAPACK, emulation.py:164-178).
+
+This module restructures the whole computation as batched MXU matmuls plus
+ONE small Pallas kernel for the only intrinsically sequential piece — the
+NB x NB diagonal-block factorization (with its triangular inverse), batched
+across instances on the 128 lanes:
+
+  blocked factorization, per panel k:
+      L[k][k], invL[k][k] = diag_chol_inv(A[k][k])          (Pallas, lanes=batch)
+      L[i][k]  = A[i][k] @ invL[k][k]^T                     (batched matmul)
+      A[i][j] -= L[i][k] @ L[j][k]^T                        (batched matmul)
+  block forward substitution for the full triangular inverse:
+      invL[i][j] = -invL[i][i] @ sum_k L[i][k] @ invL[k][j] (batched matmul)
+
+From invL, everything the log-marginal likelihood and its closed-form
+gradient need is matmul work: alpha = invL^T (invL y), log|K| from the
+diagonal blocks, K^{-1} = invL^T invL. No TriangularSolve, no Cholesky
+backward anywhere.
+
+All matmuls run at HIGHEST precision regardless of the ambient matmul
+precision: the trailing Schur updates feed later pivots, and bf16 passes
+break positive-definiteness at this problem's conditioning (see the package
+__init__ note on jax_default_matmul_precision).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+NB = 64  # diagonal block size; N pads to a multiple (identity on the pad)
+
+
+def _diag_chol_inv_kernel(nb: int, a_ref, l_ref, inv_ref):
+    """Factor (nb, nb, lanes) SPD blocks and invert the factor, per lane.
+
+    Rank-1-downdate Cholesky exactly like ops/pallas_mvn._mvn_kernel, storing
+    the L columns, followed by a column-oriented forward substitution of the
+    identity to produce invL. Everything is (nb, lanes)-shaped VPU work with
+    the instance batch on the lane dimension.
+    """
+    lanes = a_ref.shape[-1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 0)
+
+    # Factorization: fori_loop (not unrolled) keeps the Mosaic program small —
+    # the remote compile service charges heavily for long unrolled bodies.
+    # l_ref[j] stores COLUMN j of L (the wrapper transposes back).
+    def factor_body(j, A):
+        pivot = jax.lax.dynamic_slice(A, (j, j, 0), (1, 1, lanes))[:, 0, :]  # (1, lanes)
+        inv_p = jax.lax.rsqrt(pivot)
+        col = jax.lax.dynamic_slice(A, (0, j, 0), (nb, 1, lanes))[:, 0, :] * inv_p
+        col = jnp.where(row_ids >= j, col, jnp.zeros_like(col))
+        l_ref[pl.ds(j, 1)] = col[None]
+        return A - col[:, None, :] * col[None, :, :]
+
+    jax.lax.fori_loop(0, nb, factor_body, a_ref[:])
+
+    # Triangular inverse, all right-hand sides at once: solve L X = I by
+    # forward substitution over rows; step i emits row i of X for every RHS
+    # column and removes L[:, i]'s contribution from the running residual.
+    # inv_ref[i] stores ROW i of invL (no transpose in this output).
+    Lfull = l_ref[:]  # (nb, nb, lanes), column j at leading index j
+    eye = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (nb, nb, lanes), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (nb, nb, lanes), 1),
+        jnp.ones((nb, nb, lanes), a_ref.dtype),
+        jnp.zeros((nb, nb, lanes), a_ref.dtype),
+    )
+
+    def sub_body(i, R):
+        Li = jax.lax.dynamic_slice(Lfull, (i, 0, 0), (1, nb, lanes))[0]   # (nb, lanes) = L[:, i]
+        Lii = jax.lax.dynamic_slice(Li, (i, 0), (1, lanes))               # (1, lanes)
+        y = jax.lax.dynamic_slice(R, (i, 0, 0), (1, nb, lanes)) / Lii[None, :, :]
+        inv_ref[pl.ds(i, 1)] = y
+        return R - Li[:, None, :] * y
+
+    jax.lax.fori_loop(0, nb, sub_body, eye)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _diag_chol_inv_pallas(At: jax.Array, interpret: bool = False):
+    """(nb, nb, Bp) -> (L, invL) both (nb, nb, Bp); Bp a multiple of 128."""
+    nb, _, Bp = At.shape
+    kernel = functools.partial(_diag_chol_inv_kernel, nb)
+    lanes = 128
+    return pl.pallas_call(
+        kernel,
+        grid=(Bp // lanes,),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, nb, Bp), At.dtype),
+            jax.ShapeDtypeStruct((nb, nb, Bp), At.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec((nb, nb, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nb, nb, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, nb, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(At)
+
+
+def _diag_chol_inv(A: jax.Array, interpret: bool | None):
+    """(B, nb, nb) SPD -> (L, invL), via the lane-batched kernel on TPU or the
+    unrolled jnp path elsewhere (identical column algorithm)."""
+    if interpret is None:
+
+        def host(A):
+            from bayesian_inference_tpu.ops.cholesky import tiny_cholesky
+
+            L = tiny_cholesky(A)
+            eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+            inv = _solve_lower_multi(L, eye)
+            return L, inv
+
+        return jax.lax.platform_dependent(
+            A,
+            tpu=lambda a: _diag_chol_inv(a, interpret=False),
+            default=host,
+        )
+    B, nb, _ = A.shape
+    pad = (-B) % 128
+    At = jnp.moveaxis(A, 0, -1)  # (nb, nb, B)
+    if pad:
+        eye_t = jnp.broadcast_to(jnp.eye(nb, dtype=A.dtype)[:, :, None], (nb, nb, pad))
+        At = jnp.concatenate([At, eye_t], axis=-1)
+    Lt, It = _diag_chol_inv_pallas(At, interpret=interpret)
+    # L output carries columns at the leading index (out[j, i, b] = L[b, i, j]);
+    # the inverse output carries rows (out[i, c, b] = invL[b, i, c]).
+    return jnp.transpose(Lt[..., :B], (2, 1, 0)), jnp.transpose(It[..., :B], (2, 0, 1))
+
+
+def _solve_lower_multi(L: jax.Array, Bm: jax.Array) -> jax.Array:
+    """Forward substitution with matrix RHS, unrolled (host fallback path)."""
+    n = L.shape[-1]
+    rows = []
+    for i in range(n):
+        r = Bm[..., i, :]
+        for j in range(i):
+            r = r - L[..., i, j][..., None] * rows[j]
+        rows.append(r / L[..., i, i][..., None])
+    return jnp.stack(rows, axis=-2)
+
+
+def blocked_chol_inv(
+    K: jax.Array, interpret: bool | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Batched (B, N, N) SPD -> (invL, half_logdet) with L K-factor inverse.
+
+    N is padded internally to a multiple of NB with an identity diagonal pad
+    (decoupled: the returned invL/half_logdet slice back exactly). ``interpret``
+    follows the pallas convention: None = dispatch by lowering platform,
+    True/False force the kernel's interpreter/compiled mode.
+    """
+    B, N, _ = K.shape
+    n_pad = (-N) % NB
+    Np = N + n_pad
+    if n_pad:
+        Kp = jnp.zeros((B, Np, Np), K.dtype)
+        Kp = Kp.at[:, :N, :N].set(K)
+        Kp = Kp.at[:, N:, N:].set(jnp.eye(n_pad, dtype=K.dtype))
+        K = Kp
+    n = Np // NB
+
+    # block grid of (B, NB, NB) arrays
+    Ablk = [
+        [K[:, i * NB : (i + 1) * NB, j * NB : (j + 1) * NB] for j in range(i + 1)]
+        for i in range(n)
+    ]
+    L: list[list[jax.Array]] = [[None] * n for _ in range(n)]  # type: ignore[list-item]
+    Inv: list[list[jax.Array]] = [[None] * n for _ in range(n)]  # type: ignore[list-item]
+    half_logdet = jnp.zeros((B,), K.dtype)
+
+    for k in range(n):
+        Lkk, invLkk = _diag_chol_inv(Ablk[k][k], interpret)
+        L[k][k], Inv[k][k] = Lkk, invLkk
+        half_logdet = half_logdet + jnp.sum(
+            jnp.log(jnp.diagonal(Lkk, axis1=-2, axis2=-1)), axis=-1
+        )
+        for i in range(k + 1, n):
+            L[i][k] = jnp.einsum("bij,bkj->bik", Ablk[i][k], invLkk, precision=_HI)
+        for i in range(k + 1, n):
+            for j in range(k + 1, i + 1):
+                Ablk[i][j] = Ablk[i][j] - jnp.einsum(
+                    "bik,bjk->bij", L[i][k], L[j][k], precision=_HI
+                )
+
+    # Block forward substitution: invL[i][j] = -Inv[i][i] (sum_k L[i][k] Inv[k][j])
+    for j in range(n):
+        for i in range(j + 1, n):
+            S = None
+            for k in range(j, i):
+                term = jnp.einsum("bik,bkj->bij", L[i][k], Inv[k][j], precision=_HI)
+                S = term if S is None else S + term
+            Inv[i][j] = -jnp.einsum("bik,bkj->bij", Inv[i][i], S, precision=_HI)
+
+    zeros = jnp.zeros((B, NB, NB), K.dtype)
+    invL = jnp.concatenate(
+        [
+            jnp.concatenate([Inv[i][j] if j <= i else zeros for j in range(n)], axis=2)
+            for i in range(n)
+        ],
+        axis=1,
+    )
+    return invL[:, :N, :N], half_logdet
+
+
+@jax.custom_batching.custom_vmap
+def chol_inv_batched(K: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(B, N, N) SPD -> (invL (B, N, N), half_logdet (B,)); vmap-collapsing.
+
+    The GP fit evaluates its objective under nested vmaps (instances x trial
+    candidates); a plain vmap over the Pallas diagonal kernel would lift it to
+    one 128-lane-padded call PER INSTANCE. The batching rule instead folds any
+    vmapped axis into the existing batch (lane) dimension and re-enters this
+    same function, so arbitrarily nested vmaps all collapse into one
+    full-width kernel launch.
+    """
+    return blocked_chol_inv(K)
+
+
+@chol_inv_batched.def_vmap
+def _chol_inv_vmap_rule(axis_size, in_batched, K):
+    del axis_size
+    (k_batched,) = in_batched
+    assert k_batched, "chol_inv_batched vmapped with unbatched operand"
+    V, B, N, _ = K.shape
+    invL, hld = chol_inv_batched(K.reshape(V * B, N, N))
+    return (invL.reshape(V, B, N, N), hld.reshape(V, B)), (True, True)
