@@ -115,16 +115,17 @@ def _diag_chol_inv_pallas(At: jax.Array, interpret: bool = False):
 
 
 def _diag_chol_inv(A: jax.Array, interpret: bool | None):
-    """(B, nb, nb) SPD -> (L, invL), via the lane-batched kernel on TPU or the
-    unrolled jnp path elsewhere (identical column algorithm)."""
+    """(B, nb, nb) SPD -> (L, invL), via the lane-batched kernel on TPU or
+    LAPACK-backed primitives elsewhere."""
     if interpret is None:
 
         def host(A):
-            from bayesian_inference_tpu.ops.cholesky import tiny_cholesky
-
-            L = tiny_cholesky(A)
+            # Non-TPU fallback: LAPACK-backed primitives are fast there and
+            # compile in O(1) graph size (the unrolled/Pallas structure exists
+            # because XLA:TPU lowers these badly, not XLA:CPU).
+            L = jnp.linalg.cholesky(A)
             eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
-            inv = _solve_lower_multi(L, eye)
+            inv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
             return L, inv
 
         return jax.lax.platform_dependent(
@@ -142,18 +143,6 @@ def _diag_chol_inv(A: jax.Array, interpret: bool | None):
     # L output carries columns at the leading index (out[j, i, b] = L[b, i, j]);
     # the inverse output carries rows (out[i, c, b] = invL[b, i, c]).
     return jnp.transpose(Lt[..., :B], (2, 1, 0)), jnp.transpose(It[..., :B], (2, 0, 1))
-
-
-def _solve_lower_multi(L: jax.Array, Bm: jax.Array) -> jax.Array:
-    """Forward substitution with matrix RHS, unrolled (host fallback path)."""
-    n = L.shape[-1]
-    rows = []
-    for i in range(n):
-        r = Bm[..., i, :]
-        for j in range(i):
-            r = r - L[..., i, j][..., None] * rows[j]
-        rows.append(r / L[..., i, i][..., None])
-    return jnp.stack(rows, axis=-2)
 
 
 def blocked_chol_inv(
