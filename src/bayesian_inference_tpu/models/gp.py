@@ -186,6 +186,40 @@ def posterior_from_params(
     )
 
 
+def posterior_from_params_matmul(
+    cfg: KernelConfig,
+    params: KernelParams,
+    X: jax.Array,
+    y: jax.Array,
+    alpha_jitter: float,
+) -> GPPosterior:
+    """posterior_from_params via the blocked matmul-only factorization.
+
+    Same contract and (up to fp reordering) same values; used by the fit when
+    lml_impl='matmul' so the final posterior build also avoids XLA's
+    Cholesky/TriangularSolve on TPU. vmap-safe (chol_inv_batched collapses
+    the stacked-PC axis into the kernel's lane batch).
+    """
+    from bayesian_inference_tpu.ops.blocked_cholesky import chol_inv_batched
+
+    hi = jax.lax.Precision.HIGHEST
+    K = train_gram(cfg, params, X, alpha_jitter)
+    invL, half_logdet = chol_inv_batched(K[None])
+    invL, half_logdet = invL[0], half_logdet[0]
+    Kinv = jnp.einsum("ki,kj->ij", invL, invL, precision=hi)
+    alpha = jnp.einsum("ij,j->i", Kinv, y, precision=hi)
+    n = y.shape[0]
+    lml = -0.5 * (y @ alpha) - half_logdet - 0.5 * n * _LOG_2PI
+    return GPPosterior(
+        params=params,
+        X=X,
+        alpha=alpha,
+        Kinv=Kinv,
+        prior_var=prior_variance(cfg, params, dtype=K.dtype),
+        lml=lml,
+    )
+
+
 def predict(cfg: KernelConfig, post: GPPosterior, theta: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Posterior mean and variance at ``theta`` (B, d) for one GP -> ((B,), (B,)).
 

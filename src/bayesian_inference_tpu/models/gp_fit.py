@@ -243,6 +243,10 @@ def _fit_gps_impl(
 
     def build(u: jax.Array, y: jax.Array) -> GPPosterior:
         params = unpack_params(spec.cfg, _to_log_theta(spec, u), X.shape[1])
+        if spec.lml_impl == "matmul":
+            from bayesian_inference_tpu.models.gp import posterior_from_params_matmul
+
+            return posterior_from_params_matmul(spec.cfg, params, X, y, spec.alpha_jitter)
         return posterior_from_params(spec.cfg, params, X, y, spec.alpha_jitter)
 
     return jax.vmap(build)(best_us, Y_pc.T)

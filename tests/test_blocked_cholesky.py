@@ -75,6 +75,19 @@ def test_lml_matmul_matches_autodiff(nu, with_constant):
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(leaf_ref), rtol=1e-8, atol=1e-10)
 
 
+def test_posterior_from_params_matmul_matches():
+    N, d = 48, 6
+    X = jnp.asarray(rng.uniform(0.0, 1.0, (N, d)))
+    y = jnp.asarray(rng.normal(size=N))
+    cfg = KernelConfig(nu=1.5, with_noise=True)
+    params = KernelParams.create(length_scale=rng.uniform(0.5, 2.0, d), noise=0.2)
+    ref = gp_mod.posterior_from_params(cfg, params, X, y, 1e-6)
+    out = gp_mod.posterior_from_params_matmul(cfg, params, X, y, 1e-6)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.Kinv), np.asarray(ref.Kinv), rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(float(out.lml), float(ref.lml), rtol=1e-12)
+
+
 @pytest.mark.slow
 def test_fit_gps_matmul_impl_matches_autodiff():
     """End-to-end fit with lml_impl='matmul' must land on the same optima as
