@@ -52,42 +52,38 @@ def _diag_chol_inv_kernel(nb: int, a_ref, l_ref, inv_ref):
     identity to produce invL. Everything is (nb, lanes)-shaped VPU work with
     the instance batch on the lane dimension.
     """
-    lanes = a_ref.shape[-1]
+    A = a_ref[:]  # (nb, nb, lanes)
+    lanes = A.shape[-1]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 0)
 
-    # Factorization: fori_loop (not unrolled) keeps the Mosaic program small —
-    # the remote compile service charges heavily for long unrolled bodies.
+    # Factorization, statically unrolled (Mosaic has no dynamic_slice on
+    # values; ~2*nb unrolled bodies total stay well within compile budgets).
     # l_ref[j] stores COLUMN j of L (the wrapper transposes back).
-    def factor_body(j, A):
-        pivot = jax.lax.dynamic_slice(A, (j, j, 0), (1, 1, lanes))[:, 0, :]  # (1, lanes)
+    cols = []
+    for j in range(nb):
+        pivot = A[j, :, :][j : j + 1, :]              # (1, lanes) = A[j, j, :]
         inv_p = jax.lax.rsqrt(pivot)
-        col = jax.lax.dynamic_slice(A, (0, j, 0), (nb, 1, lanes))[:, 0, :] * inv_p
+        col = A[:, j, :] * inv_p                      # (nb, lanes)
         col = jnp.where(row_ids >= j, col, jnp.zeros_like(col))
-        l_ref[pl.ds(j, 1)] = col[None]
-        return A - col[:, None, :] * col[None, :, :]
-
-    jax.lax.fori_loop(0, nb, factor_body, a_ref[:])
+        cols.append(col)
+        l_ref[j] = col
+        A = A - col[:, None, :] * col[None, :, :]
 
     # Triangular inverse, all right-hand sides at once: solve L X = I by
     # forward substitution over rows; step i emits row i of X for every RHS
     # column and removes L[:, i]'s contribution from the running residual.
     # inv_ref[i] stores ROW i of invL (no transpose in this output).
-    Lfull = l_ref[:]  # (nb, nb, lanes), column j at leading index j
-    eye = jnp.where(
+    R = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (nb, nb, lanes), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (nb, nb, lanes), 1),
-        jnp.ones((nb, nb, lanes), a_ref.dtype),
-        jnp.zeros((nb, nb, lanes), a_ref.dtype),
+        jnp.ones((nb, nb, lanes), A.dtype),
+        jnp.zeros((nb, nb, lanes), A.dtype),
     )
-
-    def sub_body(i, R):
-        Li = jax.lax.dynamic_slice(Lfull, (i, 0, 0), (1, nb, lanes))[0]   # (nb, lanes) = L[:, i]
-        Lii = jax.lax.dynamic_slice(Li, (i, 0), (1, lanes))               # (1, lanes)
-        y = jax.lax.dynamic_slice(R, (i, 0, 0), (1, nb, lanes)) / Lii[None, :, :]
-        inv_ref[pl.ds(i, 1)] = y
-        return R - Li[:, None, :] * y
-
-    jax.lax.fori_loop(0, nb, sub_body, eye)
+    for i in range(nb):
+        Li = cols[i]                                  # (nb, lanes) = L[:, i]
+        y = R[i : i + 1, :, :] / Li[i : i + 1, :][None, :, :]
+        inv_ref[i] = y[0]
+        R = R - Li[:, None, :] * y
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
