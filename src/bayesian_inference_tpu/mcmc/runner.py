@@ -733,19 +733,32 @@ def _device_chain_stats(pieces) -> dict[str, Any]:
 
 def _production_chunk(config: MCMCConfig, checkpoint_every: int | None) -> int | None:
     """Production dispatch-chunk size: the checkpoint cadence when set, else a
-    single dispatch (None) — the acceptance-logging cadence no longer needs
-    chunking since the scan outputs a per-step acceptance trace.
+    single dispatch (None).
     ``BIQ_DISPATCH_CHUNK`` overrides for tuning (0 forces single dispatch)."""
     n = config.n_sampling_steps
     cadence = checkpoint_every or 0
     cadence = int(os.environ.get("BIQ_DISPATCH_CHUNK", cadence) or 0)
     if 0 < cadence < n:
         return cadence
+    if cadence != 0 or "BIQ_DISPATCH_CHUNK" in os.environ:
+        return None
     # Quarter dispatches of ONE shared scan program: earlier chunks' chain
     # slabs download while later chunks execute, hiding most of the transfer
     # (which has high variance through the tunneled runtime).
-    if cadence == 0 and "BIQ_DISPATCH_CHUNK" not in os.environ and n >= 20000 and n % 4 == 0:
+    if n >= 20000 and n % 4 == 0:
         return n // 4
+    # Shorter runs: chunk at the acceptance-logging cadence so `MCMC step
+    # N/total` lines appear DURING sampling (reference mcmc.py:194-204
+    # behavior) instead of post-hoc from the downloaded trace. Chunks share
+    # one compiled program only when equal-sized, so round n_logging_steps
+    # into an even divisor of the run.
+    log_every = getattr(config, "n_logging_steps", 0) or 0
+    if 0 < log_every < n:
+        k = max(1, round(n / log_every))
+        while n % k:
+            k -= 1
+        if k > 1:
+            return n // k
     return None
 
 

