@@ -11,6 +11,7 @@ from bayesian_inference_tpu.ops.gram import (
     prior_variance,
     train_gram,
 )
+from bayesian_inference_tpu.ops.blocked_cholesky import blocked_chol_inv, chol_inv_batched
 from bayesian_inference_tpu.ops.mvn import (
     WoodburyNormal,
     build_woodbury,
@@ -22,7 +23,9 @@ __all__ = [
     "KernelConfig",
     "KernelParams",
     "WoodburyNormal",
+    "blocked_chol_inv",
     "build_woodbury",
+    "chol_inv_batched",
     "cross_covariance",
     "mvn_loglike_dense",
     "prior_variance",
