@@ -56,13 +56,12 @@ def check_fit_program() -> None:
     print(f"fit program (matmul LML): TPU lowering OK ({n_calls} pallas calls)")
 
 
-def check_sampler_program() -> None:
+def _make_likelihood():
     from bayesian_inference_tpu.mcmc.likelihood import EmulatorLikelihood, GroupGPs
-    from bayesian_inference_tpu.mcmc.stretch import init_state, run_chunk
     from bayesian_inference_tpu.models.gp import GPPosterior
     from bayesian_inference_tpu.ops.gram import KernelConfig, KernelParams
 
-    k, N, d, W = 5, 40, 6, 100  # W=100 -> 50-walker halves: lane-packed kernel
+    k, N, d = 5, 40, 6
     posts = GPPosterior(
         params=KernelParams(
             log_length_scale=jnp.asarray(rng.normal(size=(k, d)).astype(f32)),
@@ -80,12 +79,19 @@ def check_sampler_program() -> None:
         U.append(jnp.asarray(rng.normal(size=(cnt, nb, k)).astype(f32) * 0.1))
         D.append(jnp.asarray(np.broadcast_to(np.eye(nb, dtype=f32), (cnt, nb, nb))))
         d0.append(jnp.asarray(rng.normal(size=(cnt, nb)).astype(f32)))
-    like = EmulatorLikelihood(
+    return EmulatorLikelihood(
         groups=(GroupGPs(cfg=KernelConfig(nu=1.5, with_noise=True), posts=posts),),
         theta_min=jnp.zeros((d,), jnp.float32),
         theta_max=jnp.ones((d,), jnp.float32),
         U=tuple(U), D=tuple(D), d0=tuple(d0), wb=None, mode="block",
     )
+
+
+def check_sampler_program() -> None:
+    from bayesian_inference_tpu.mcmc.stretch import init_state, run_chunk
+
+    like = _make_likelihood()
+    W, d = 100, 6  # W=100 -> 50-walker halves: lane-packed kernel
     x0 = jnp.asarray(rng.uniform(0.2, 0.8, size=(W, d)).astype(f32))
 
     def fn(aux, x):
@@ -100,7 +106,38 @@ def check_sampler_program() -> None:
     print(f"sampler scan (packed MVN, shared-sqdiff GP eval): TPU lowering OK ({n_calls} pallas calls)")
 
 
+def check_closure_batch_program() -> None:
+    """The closure batch vmaps the sampler over P validation points, so the
+    packed MVN kernel lowers through the pallas BATCHING rule (an extra grid
+    dimension over the mapped d0/z/v operands)."""
+    from bayesian_inference_tpu.mcmc.stretch import init_state_batched, run_chunk_batched
+
+    like = _make_likelihood()
+    P, W, d = 3, 100, 6
+    d0_batch = tuple(
+        jnp.asarray(rng.normal(size=(P,) + tuple(x.shape)).astype(f32)) for x in like.d0
+    )
+    x0 = jnp.asarray(rng.uniform(0.2, 0.8, size=(P, W, d)).astype(f32))
+    keys = jax.random.split(jax.random.key(0), P)
+
+    def fn(shared, d0_p, x):
+        return shared.log_posterior_with_d0(d0_p, x)
+
+    states = init_state_batched.__wrapped__(keys, fn, x0, d0_batch, shared_aux=like)
+    txt = lower_tpu(
+        jax.jit(
+            lambda st, aux, shared: run_chunk_batched(
+                st, fn, aux, 5, shared_aux=shared
+            )[1][0]
+        ).trace(states, d0_batch, like)
+    )
+    n_calls = txt.count("tpu_custom_call")
+    assert n_calls >= len(like.U)
+    print(f"closure batch (P-vmapped packed MVN): TPU lowering OK ({n_calls} pallas calls)")
+
+
 if __name__ == "__main__":
     check_fit_program()
     check_sampler_program()
+    check_closure_batch_program()
     print("ALL TPU LOWERINGS OK")
