@@ -220,6 +220,7 @@ class MCMCConfig:
     n_burn_steps: int = attrs.field(init=False)
     n_sampling_steps: int = attrs.field(init=False)
     n_logging_steps: int = attrs.field(init=False)
+    checkpoint_every: int | None = attrs.field(init=False)
     likelihood_mode: str = attrs.field(init=False)
     confidence: float = attrs.field(init=False)
     output_dir: str = attrs.field(init=False)
@@ -237,6 +238,10 @@ class MCMCConfig:
         self.n_burn_steps = mcmc["n_burn_steps"]
         self.n_sampling_steps = mcmc["n_sampling_steps"]
         self.n_logging_steps = mcmc["n_logging_steps"]
+        # Optional step-granular checkpoint cadence for the production run
+        # (resumable mid-chain — the capability the reference lists as an
+        # open TODO, mcmc.py:69-70). Absent/0 keeps the default dispatch.
+        self.checkpoint_every = int(mcmc.get("checkpoint_every", 0) or 0) or None
         # 'block' = reference-parity per-observable covariance blocks;
         # 'lowrank' = full cross-observable covariance via the Woodbury identity
         self.likelihood_mode = mcmc.get("likelihood_mode", "block")

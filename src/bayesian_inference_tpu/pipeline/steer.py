@@ -128,7 +128,7 @@ class SteerAnalysis:
                     analysis_config=analysis_config,
                     config_file=self.config_file,
                 )
-                run_mcmc(mcmc_config)
+                run_mcmc(mcmc_config, checkpoint_every=mcmc_config.checkpoint_every)
 
         if self.run_closure_tests:
             n_points = analysis_config["validation_indices"][1] - analysis_config["validation_indices"][0]

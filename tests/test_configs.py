@@ -41,6 +41,8 @@ def test_shipped_configs_build(name):
                 config_file=str(path),
             )
             assert mcmc.n_walkers > 0 and mcmc.n_sampling_steps > 0
+            # optional key: absent -> None (default dispatch, no checkpoints)
+            assert mcmc.checkpoint_every is None or mcmc.checkpoint_every > 0
 
             prep = PreprocessingConfig(
                 analysis_name=analysis_name,
