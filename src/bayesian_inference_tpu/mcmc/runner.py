@@ -554,10 +554,29 @@ def run_closure_batch(
     # checkpoint/resume path in tests without killing the process).
     abort_after = int(os.environ.get("BIQ_CLOSURE_ABORT_AFTER_CHUNKS", "0") or 0)
     # Download in dispatch order; each slab is written to the per-point files
-    # and dropped before the next download (bounded host memory).
+    # and dropped before the next-but-one download (bounded host memory: at
+    # most two chunks in flight). A 2-worker pool fetches chunk k+1 while
+    # chunk k's slab is being appended to the P per-point files — the
+    # tunneled device->host link has high-variance throughput and gains ~2x
+    # from concurrent streams during slow windows (measured 2026-08-18).
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    inflight = {}
+
+    def _prefetch(i_chunk):
+        if 0 <= i_chunk < len(pending) and i_chunk not in inflight:
+            ys_i = pending[i_chunk][1]
+            inflight[i_chunk] = (
+                pool.submit(np.asarray, ys_i[0]), pool.submit(np.asarray, ys_i[1])
+            )
+
+    _prefetch(0)
     for i_chunk, (n, ys, snap) in enumerate(pending):
-        chain_slab = np.asarray(ys[0])   # (n, P+pad, W, d)
-        logp_slab = np.asarray(ys[1])
+        _prefetch(i_chunk + 1)
+        f_chain, f_logp = inflight.pop(i_chunk)
+        chain_slab = f_chain.result()   # (n, P+pad, W, d)
+        logp_slab = f_logp.result()
         for p, i in enumerate(closure_indices):
             hdf5.append_time_series(
                 cfgs[i].mcmc_output_dir, "mcmc.h5",
@@ -575,9 +594,11 @@ def run_closure_batch(
             ckpt_file.flush()
             if abort_after and i_chunk + 1 >= abort_after:
                 ckpt_file.close()
+                pool.shutdown(wait=False)
                 raise RuntimeError(
                     "closure batch aborted by BIQ_CLOSURE_ABORT_AFTER_CHUNKS (test hook)"
                 )
+    pool.shutdown()
     if ckpt_file is not None:
         ckpt_file.close()
         os.remove(ckpt_path)
@@ -742,11 +763,15 @@ def _production_chunk(config: MCMCConfig, checkpoint_every: int | None) -> int |
         return cadence
     if cadence != 0 or "BIQ_DISPATCH_CHUNK" in os.environ:
         return None
-    # Quarter dispatches of ONE shared scan program: earlier chunks' chain
-    # slabs download while later chunks execute, hiding most of the transfer
-    # (which has high variance through the tunneled runtime).
-    if n >= 20000 and n % 4 == 0:
-        return n // 4
+    # Eighth (or quarter) dispatches of ONE shared scan program: earlier
+    # chunks' chain slabs download while later chunks execute, hiding most of
+    # the transfer (which has high variance through the tunneled runtime);
+    # finer chunks start the first download sooner and keep the concurrent
+    # fetch pool's streams full.
+    if n >= 20000:
+        for k in (8, 4):
+            if n % k == 0:
+                return n // k
     # Shorter runs: chunk at the acceptance-logging cadence so `MCMC step
     # N/total` lines appear DURING sampling (reference mcmc.py:194-204
     # behavior) instead of post-hoc from the downloaded trace. Chunks share
@@ -933,16 +958,28 @@ def _run_production(
         pending.append((n, ys, state))
     stats.warm_fft_plans(n_total)  # host idle while the device executes
 
-    # Download in order: np.asarray blocks on chunk k while k+1.. execute; the
-    # h5 append for chunk k also overlaps chunks k+1..'s device execution.
+    # Download with a small thread pool, process/write strictly in dispatch
+    # order: np.asarray blocks on chunk k while k+1.. execute, so transfers
+    # overlap both device execution AND each other. The tunneled runtime's
+    # device->host link has high-variance throughput (measured 0.8-17 MB/s
+    # within one hour, 2026-08-18) and ~2x aggregate gain from concurrent
+    # streams during slow windows; concurrency costs nothing in fast ones.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=4)
+    fetches = [
+        (n, pool.submit(np.asarray, ys[0]), pool.submit(np.asarray, ys[1]),
+         pool.submit(np.asarray, ys[2]), snap)
+        for n, ys, snap in pending
+    ]
     trace_sum = float(acc_offset.mean())  # sum of per-step mean acceptance so far
-    for n, ys, snap in pending:
-        chains.append(np.asarray(ys[0]))
-        logps.append(np.asarray(ys[1]))
+    for n, f_chain, f_logp, f_trace, snap in fetches:
+        chains.append(f_chain.result())
+        logps.append(f_logp.result())
         hdf5.append_time_series(
             out_dir, "mcmc.h5", {"chain": chains[-1], "log_prob": logps[-1]}
         )
-        tr = np.asarray(ys[2])
+        tr = f_trace.result()
         _log_acceptance_cadence(config, tr, offset=steps_done, prior_sum=trace_sum)
         trace_sum += float(tr.sum(dtype=np.float64))
         steps_done += n
@@ -956,6 +993,7 @@ def _run_production(
                 "key_data": np.asarray(jax.random.key_data(snap.key)),
             }, ckpt_file)
             ckpt_file.flush()
+    pool.shutdown()
 
     if ckpt_file is not None:
         ckpt_file.close()

@@ -106,6 +106,12 @@ def _diag_chol_inv_pallas(At: jax.Array, interpret: bool = False):
             pl.BlockSpec((nb, nb, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, nb, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
         ),
+        # The kernel's live set (working copy of A, the 64 factor columns, the
+        # substitution residual, plus double-buffered in/out windows) needs
+        # ~21 MB of scoped VMEM at nb=64/128 lanes — over the 16 MB default
+        # limit but a small fraction of the chip's 128 MB VMEM (measured:
+        # v5e AOT compile OOM at 20.40M/16.00M, 2026-08-18).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(At)
 

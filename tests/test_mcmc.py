@@ -379,7 +379,7 @@ def test_acceptance_cadence_logging(caplog):
 def test_production_chunk_honors_logging_cadence():
     """Short runs chunk at (a divisor rounding of) n_logging_steps so the
     cadence lines appear during sampling, not post-hoc (VERDICT r2 weak #5);
-    long runs keep quarter dispatches; no cadence -> single dispatch."""
+    long runs keep eighth dispatches; no cadence -> single dispatch."""
     import types
 
     from bayesian_inference_tpu.mcmc.runner import _production_chunk
@@ -387,7 +387,8 @@ def test_production_chunk_honors_logging_cadence():
     def cfg(n, log):
         return types.SimpleNamespace(n_sampling_steps=n, n_logging_steps=log)
 
-    assert _production_chunk(cfg(50000, 1000), None) == 12500   # quarter dispatch
+    assert _production_chunk(cfg(50000, 1000), None) == 6250    # eighth dispatch
+    assert _production_chunk(cfg(20004, 0), None) == 5001       # 4-divisible only
     assert _production_chunk(cfg(5000, 1000), None) == 1000     # exact divisor
     assert _production_chunk(cfg(5000, 900), None) == 1000      # rounded to divisor
     assert _production_chunk(cfg(5000, 0), None) is None        # no cadence
