@@ -101,7 +101,14 @@ def main() -> None:
         integrated_time(chain, quiet=True).max(),
         integrated_time(chain_np, quiet=True).max(),
     )
+    # Thin along the STEP axis (axis 0 of the (steps, walkers, ndim) chain)
+    # BEFORE flattening: rows of the flattened array are walker-major within a
+    # step, so thinning the flattened array by tau only decorrelates by
+    # tau/n_walkers steps. Each retained step slice contributes all walkers
+    # (quasi-independent in a stretch-move ensemble, standard emcee practice).
     thin = max(1, int(np.ceil(tau)))
+    s1_thin = chain[::thin].reshape(-1, chain.shape[-1])
+    s2_thin = chain_np[::thin].reshape(-1, chain.shape[-1])
     width = np.asarray(pspec["max"]) - np.asarray(pspec["min"])
 
     report = {
@@ -114,13 +121,20 @@ def main() -> None:
         "per_parameter": [],
     }
     for d in range(s1.shape[1]):
-        ks = ks_2samp(s1[::thin, d], s2[::thin, d])
+        ks = ks_2samp(s1_thin[:, d], s2_thin[:, d])
         report["per_parameter"].append({
             "dim": d,
             "ks_stat": round(float(ks.statistic), 4),
             "ks_pvalue": round(float(ks.pvalue), 4),
+            "n_eff": int(s1_thin.shape[0]),
             "median_diff_over_prior_width": round(
                 float(abs(np.median(s1[:, d]) - np.median(s2[:, d])) / width[d]), 5
+            ),
+            "q16_diff_over_prior_width": round(
+                float(abs(np.quantile(s1[:, d], 0.16) - np.quantile(s2[:, d], 0.16)) / width[d]), 5
+            ),
+            "q84_diff_over_prior_width": round(
+                float(abs(np.quantile(s1[:, d], 0.84) - np.quantile(s2[:, d], 0.84)) / width[d]), 5
             ),
         })
     print(json.dumps(report, indent=2))

@@ -14,10 +14,15 @@ from bayesian_inference_tpu.mcmc.stretch import run_ensemble
 from reference_stretch import run_stretch_numpy
 
 
-def _ks_marginals(s1, s2, thin1=25, thin2=25):
+def _ks_marginals(c1, c2, thin1=25, thin2=25):
+    """KS p-values per marginal, thinning each (steps, walkers, ndim) chain
+    along the STEP axis before flattening. Thinning after flattening would be
+    walker-major and only decorrelate by thin/n_walkers steps."""
+    s1 = c1[::thin1].reshape(-1, c1.shape[-1])
+    s2 = c2[::thin2].reshape(-1, c2.shape[-1])
     pvals = []
     for dim in range(s1.shape[1]):
-        pvals.append(ks_2samp(s1[::thin1, dim], s2[::thin2, dim]).pvalue)
+        pvals.append(ks_2samp(s1[:, dim], s2[:, dim]).pvalue)
     return pvals
 
 
@@ -49,8 +54,8 @@ def test_parity_on_banana_target():
     # moments
     np.testing.assert_allclose(s1.mean(axis=0), s2.mean(axis=0), atol=0.15)
     np.testing.assert_allclose(s1.std(axis=0), s2.std(axis=0), rtol=0.1)
-    # KS on thinned marginals
-    for p in _ks_marginals(s1, s2):
+    # KS on step-thinned marginals
+    for p in _ks_marginals(chain_np[burn:], chain_jax[burn:]):
         assert p > 1e-3, p
 
 
@@ -115,5 +120,5 @@ def test_parity_on_emulated_posterior(tmp_path):
         mcmc_stats.integrated_time(chain_jax[burn_jax:], quiet=True).max(),
     )
     thin = max(1, int(np.ceil(tau)))
-    pvals = _ks_marginals(s1, s2, thin1=thin, thin2=thin)
+    pvals = _ks_marginals(chain_np[burn_np:], chain_jax[burn_jax:], thin1=thin, thin2=thin)
     assert sum(p > 1e-3 for p in pvals) >= 5, (pvals, tau)
