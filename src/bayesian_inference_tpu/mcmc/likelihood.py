@@ -160,6 +160,9 @@ class EmulatorLikelihood:
         Every group's stacked GPs share the analysis design matrix, so the
         shared-sqdiff batched predict applies (gp.predict_all_shared) — the
         per-dim difference tensor is computed once per group, not per PC.
+        (A fused Pallas predict kernel was A/B'd on-device 2026-08-18 and
+        LOST to this XLA path — see NOTES.md "fused GP predict"; don't
+        re-attempt without new evidence.)
         """
         zs, vs = [], []
         for g in self.groups:
