@@ -98,18 +98,25 @@ def lp_none(x):
 
 
 N = 5000
-for tag, fn in [
-    ("full", lp_full),
-    ("kernel-only", lp_kernel_only),
-    ("gp-only", lp_gp_only),
-    ("gp-only-vmap", lp_gp_only_vmap),
-    ("no-likelihood", lp_none),
+# (tag, log_prob_fn, run_chunk kwargs) — the extra floor variants decompose
+# the scan bookkeeping: no-split removes the per-step random permutation +
+# argsort pair; store-off removes the per-step chain stacking.
+for tag, fn, kw in [
+    ("full", lp_full, {}),
+    ("kernel-only", lp_kernel_only, {}),
+    ("gp-only", lp_gp_only, {}),
+    ("gp-only-vmap", lp_gp_only_vmap, {}),
+    ("no-likelihood", lp_none, {}),
+    ("no-likelihood/no-split", lp_none, {"randomize_split": False}),
+    ("no-likelihood/store-off", lp_none, {"store_chain": False}),
 ]:
     st = init_state(key, fn, x0)
-    st, ys = run_chunk(st, fn, N)
-    np.asarray(ys[2])  # materialize (first call: compile+exec)
+    st, ys = run_chunk(st, fn, N, **kw)
+    trace = ys[2] if kw.get("store_chain", True) else ys
+    np.asarray(trace)  # materialize (first call: compile+exec)
     t0 = time.perf_counter()
-    st, ys = run_chunk(st, fn, N)
-    np.asarray(ys[2])
+    st, ys = run_chunk(st, fn, N, **kw)
+    trace = ys[2] if kw.get("store_chain", True) else ys
+    np.asarray(trace)
     dtw = time.perf_counter() - t0
     print(f"{tag}: {N} steps in {dtw:.2f}s ({dtw/N*1e6:.0f} us/step)", file=sys.stderr)
