@@ -572,11 +572,12 @@ def run_closure_batch(
             )
 
     _prefetch(0)
+    hedge = _HedgedFetcher()
     for i_chunk, (n, ys, snap) in enumerate(pending):
         _prefetch(i_chunk + 1)
         f_chain, f_logp = inflight.pop(i_chunk)
-        chain_slab = f_chain.result()   # (n, P+pad, W, d)
-        logp_slab = f_logp.result()
+        chain_slab = hedge.result(f_chain, ys[0], "closure chain slab")  # (n, P+pad, W, d)
+        logp_slab = hedge.result(f_logp, ys[1], "closure log-prob slab")
         for p, i in enumerate(closure_indices):
             hdf5.append_time_series(
                 cfgs[i].mcmc_output_dir, "mcmc.h5",
@@ -599,6 +600,7 @@ def run_closure_batch(
                     "closure batch aborted by BIQ_CLOSURE_ABORT_AFTER_CHUNKS (test hook)"
                 )
     pool.shutdown()
+    hedge.shutdown()
     if ckpt_file is not None:
         ckpt_file.close()
         os.remove(ckpt_path)
@@ -750,6 +752,59 @@ def _device_chain_stats(pieces) -> dict[str, Any]:
     }
     logger.info(f"device chain stats (power spectrum + R-hat): {_time.perf_counter() - _t:.2f}s")
     return out
+
+
+class _HedgedFetcher:
+    """Tail-latency hedge for device->host transfers through the tunnel.
+
+    The tunneled runtime's individual d2h RPCs can STALL for minutes while
+    the link is otherwise healthy (measured 2026-08-18: a 35 MB transfer took
+    312 s immediately followed by identical transfers at ~35 MB/s). When a
+    pending transfer exceeds the hedge deadline, race a SECOND independent
+    transfer of the same buffer from a fresh thread and take whichever
+    finishes first: jax.Array._value has no cross-thread dedup — each
+    np.asarray call issues its own device->host copy — so the hedge follows
+    a fresh RPC path. During genuinely slow (not stalled) windows the hedge
+    duplicates at most one in-flight chunk (~25% extra bytes, bounded);
+    BIQ_FETCH_HEDGE_S tunes the deadline (0 disables).
+    """
+
+    def __init__(self, hedge_s: float | None = None):
+        if hedge_s is None:
+            hedge_s = float(os.environ.get("BIQ_FETCH_HEDGE_S", "45"))
+        self.hedge_s = hedge_s
+        self._pool = None
+
+    def result(self, fut, buf, label: str):
+        import concurrent.futures as cf
+
+        if self.hedge_s <= 0:
+            return fut.result()
+        try:
+            return fut.result(timeout=self.hedge_s)
+        except cf.TimeoutError:
+            pass
+        logger.warning(
+            f"{label} transfer stalled for {self.hedge_s:.0f}s; racing a second transfer"
+        )
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=2)
+        f2 = self._pool.submit(np.asarray, buf)
+        pending = {fut, f2}
+        while True:
+            done, pending_now = cf.wait(
+                pending, timeout=max(60.0, self.hedge_s), return_when=cf.FIRST_COMPLETED
+            )
+            if done:
+                return done.pop().result()
+            logger.warning(f"{label}: both transfers still pending; waiting")
+
+    def shutdown(self):
+        # Stalled duplicate threads may survive; don't wait on them.
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
 
 
 def _production_chunk(config: MCMCConfig, checkpoint_every: int | None) -> int | None:
@@ -969,17 +1024,18 @@ def _run_production(
     pool = ThreadPoolExecutor(max_workers=4)
     fetches = [
         (n, pool.submit(np.asarray, ys[0]), pool.submit(np.asarray, ys[1]),
-         pool.submit(np.asarray, ys[2]), snap)
+         pool.submit(np.asarray, ys[2]), ys, snap)
         for n, ys, snap in pending
     ]
     trace_sum = float(acc_offset.mean())  # sum of per-step mean acceptance so far
-    for n, f_chain, f_logp, f_trace, snap in fetches:
-        chains.append(f_chain.result())
-        logps.append(f_logp.result())
+    hedge = _HedgedFetcher()
+    for n, f_chain, f_logp, f_trace, ys, snap in fetches:
+        chains.append(hedge.result(f_chain, ys[0], "chain chunk"))
+        logps.append(hedge.result(f_logp, ys[1], "log-prob chunk"))
         hdf5.append_time_series(
             out_dir, "mcmc.h5", {"chain": chains[-1], "log_prob": logps[-1]}
         )
-        tr = f_trace.result()
+        tr = hedge.result(f_trace, ys[2], "acceptance trace")
         _log_acceptance_cadence(config, tr, offset=steps_done, prior_sum=trace_sum)
         trace_sum += float(tr.sum(dtype=np.float64))
         steps_done += n
@@ -994,6 +1050,7 @@ def _run_production(
             }, ckpt_file)
             ckpt_file.flush()
     pool.shutdown()
+    hedge.shutdown()
 
     if ckpt_file is not None:
         ckpt_file.close()

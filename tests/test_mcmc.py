@@ -607,3 +607,48 @@ def test_device_closure_stats_match_host():
         np.testing.assert_allclose(
             rhats[p], stats.split_rhat(chain[:, p]), rtol=1e-10
         )
+
+
+def test_hedged_fetcher_races_stalled_transfer():
+    """A primary transfer that never completes is rescued by the hedge's
+    second independent transfer of the same buffer."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+    from bayesian_inference_tpu.mcmc.runner import _HedgedFetcher
+
+    buf = np.arange(12.0).reshape(3, 4)
+    never = threading.Event()
+    pool = ThreadPoolExecutor(max_workers=1)
+    stalled = pool.submit(never.wait, 60.0)  # simulated stalled RPC
+    hedge = _HedgedFetcher(hedge_s=0.05)
+    out = hedge.result(stalled, buf, "test buffer")
+    np.testing.assert_array_equal(out, buf)
+    never.set()
+    pool.shutdown()
+    hedge.shutdown()
+
+    # fast path: a completed future returns without hedging
+    done = ThreadPoolExecutor(max_workers=1).submit(np.asarray, buf)
+    hedge2 = _HedgedFetcher(hedge_s=10.0)
+    np.testing.assert_array_equal(hedge2.result(done, buf, "fast"), buf)
+    assert hedge2._pool is None  # hedge never fired
+    hedge2.shutdown()
+
+
+def test_chunked_production_with_forced_hedging(likelihood_setup, monkeypatch):
+    """Force the hedge on EVERY chunk fetch (deadline ~0) through the real
+    chunked production path: results must equal an unhedged run bit-exactly
+    (both transfers carry the same buffer)."""
+    from bayesian_inference_tpu.mcmc.runner import run_mcmc
+    from bayesian_inference_tpu.pipeline.configs import MCMCConfig
+
+    emu_config, results, exp, pspec, config_path, analysis_name, analysis_config = likelihood_setup
+    cfg = MCMCConfig(
+        analysis_name=analysis_name, parameterization="exponential",
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+    out_plain = run_mcmc(cfg, seed=7, checkpoint_every=16)
+    monkeypatch.setenv("BIQ_FETCH_HEDGE_S", "0.001")
+    out_hedged = run_mcmc(cfg, seed=7, checkpoint_every=16)
+    np.testing.assert_array_equal(out_hedged["chain"], out_plain["chain"])
+    np.testing.assert_array_equal(out_hedged["log_prob"], out_plain["log_prob"])
