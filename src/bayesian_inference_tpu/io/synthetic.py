@@ -167,7 +167,6 @@ def make_production_tables(
         # "truth" = the surface at a random interior point + experimental noise
         theta_truth = rng.uniform(THETA_MIN + 0.2 * (THETA_MAX - THETA_MIN),
                                   THETA_MAX - 0.2 * (THETA_MAX - THETA_MIN))
-        t = ((theta_truth - THETA_MIN) / (THETA_MAX - THETA_MIN))[None, :]
         # nearest design point's surface value is a cheap smooth stand-in
         nearest = np.argmin(np.sum((theta - theta_truth) ** 2, axis=1))
         y_exp = y_pred[:, nearest]

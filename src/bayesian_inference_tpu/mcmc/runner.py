@@ -430,10 +430,16 @@ def run_closure_batch(
         return ks[:, 0], ks[:, 1]
 
     # --- resume? ---------------------------------------------------------------
+    ckpt_header = {
+        "version": 2, "n_total": n_total, "indices": closure_indices,
+        "seed": seed, "n_walkers": W, "ndim": ndim, "n_pad": n_pad,
+    }
+    resume_records = None
     resume = None
     if checkpoint_every and os.path.exists(ckpt_path):
-        resume = _read_closure_checkpoint(ckpt_path, closure_indices, seed, n_total)
-        if resume is not None:
+        resume_records = _read_closure_checkpoint(ckpt_path, ckpt_header)
+        if resume_records is not None:
+            resume = resume_records[-1]
             logger.info(
                 f"Resuming batched closure from checkpoint at step {resume['steps_done']}"
             )
@@ -510,10 +516,19 @@ def run_closure_batch(
             key=jax.random.wrap_key_data(jnp.asarray(resume["key_data"])),
         )
         # trim streamed chains to the checkpoint step (a slab written after
-        # the last durable record is re-generated)
+        # the last durable record is re-generated). A chain SHORTER than the
+        # checkpoint means a torn/deleted per-point artifact: h5py resize
+        # would silently zero-fill the gap, so refuse (the single-run path
+        # raises for the same inconsistency).
         for i in closure_indices:
             n_have = hdf5.time_series_length(cfgs[i].mcmc_output_dir, "mcmc.h5", "chain")
-            if n_have != steps_done:
+            if n_have < steps_done:
+                raise RuntimeError(
+                    f"closure checkpoint at step {steps_done} but point {i}'s "
+                    f"streamed chain has only {n_have} steps — artifacts are "
+                    "inconsistent; delete closure/closure_checkpoint.pkl to restart"
+                )
+            if n_have > steps_done:
                 hdf5.append_time_series(
                     cfgs[i].mcmc_output_dir, "mcmc.h5",
                     {"chain": np.empty((0, W, ndim), np.dtype(str(dt))),
@@ -541,11 +556,20 @@ def run_closure_batch(
     ckpt_file = None
     if checkpoint_every:
         os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
-        ckpt_file = open(ckpt_path, "wb")
-        pickle.dump(
-            {"version": 1, "n_total": n_total, "indices": closure_indices, "seed": seed},
-            ckpt_file,
-        )
+        if resume_records is not None:
+            # Rewrite header + the complete records just resumed from, then
+            # append. Truncating to a bare header here would leave a crash
+            # before the first new record (minutes away through the tunnel)
+            # with NO resumable state — the next run would restart from zero
+            # and delete every point's streamed chain.
+            with open(ckpt_path, "wb") as f:
+                pickle.dump(ckpt_header, f)
+                for r in resume_records:
+                    pickle.dump(r, f)
+            ckpt_file = open(ckpt_path, "ab")
+        else:
+            ckpt_file = open(ckpt_path, "wb")
+            pickle.dump(ckpt_header, ckpt_file)
     pending = []
     for n in sizes:
         states, ys = run_chunk_batched(states, fn, d0_batch, n, shared_aux=like)
@@ -684,28 +708,33 @@ def run_closure_batch(
 
 
 def _read_closure_checkpoint(
-    path: str, closure_indices: list[int], seed: int, n_total: int
-) -> dict[str, Any] | None:
-    """Latest complete record of a batched-closure checkpoint stream, or None
-    when the header doesn't match this run (different points/seed/length)."""
+    path: str, expected_header: dict[str, Any]
+) -> list[dict[str, Any]] | None:
+    """Complete records of a batched-closure checkpoint stream (oldest first),
+    or None when the header doesn't match this run. The header pins everything
+    that determines the snapshot array shapes and the RNG stream — points,
+    seed, chain length, walker count, ndim, and the mesh pad width — so a
+    checkpoint written under a different mesh (different n_pad) is rejected
+    with a clear message instead of failing with a broadcast error deep in
+    the vmapped sampler."""
     records: list[dict[str, Any]] = []
     with open(path, "rb") as f:
         try:
             header = pickle.load(f)
-            if (
-                header.get("version") != 1
-                or header.get("n_total") != n_total
-                or header.get("indices") != closure_indices
-                or header.get("seed") != seed
-            ):
-                return None
+            for k, v in expected_header.items():
+                if header.get(k) != v:
+                    logger.warning(
+                        f"closure checkpoint incompatible ({k}: "
+                        f"{header.get(k)!r} != {v!r}); restarting fresh"
+                    )
+                    return None
             while True:
                 records.append(pickle.load(f))
         except (EOFError, pickle.UnpicklingError):
             pass
-    if not records or records[-1]["steps_done"] >= n_total:
+    if not records or records[-1]["steps_done"] >= expected_header["n_total"]:
         return None
-    return records[-1]
+    return records
 
 
 def _existing_observables_file(config) -> str:
@@ -746,6 +775,11 @@ def _device_chain_stats(pieces) -> dict[str, Any]:
     if next(iter(dev_arr.devices())).platform == "cpu":
         return {}
     _t = _time.perf_counter()
+    # Concatenate/upload ONCE: on a resumed run pieces[0] is a host-resident
+    # chain prefix that would otherwise ride the tunnel twice (each stats
+    # helper does its own concatenate of whatever list it is handed).
+    if isinstance(pieces, (list, tuple)) and len(pieces) > 1:
+        pieces = [jnp.concatenate([jnp.asarray(p) for p in pieces], axis=0)]
     out = {
         "mean_power": stats.device_mean_power(pieces),
         "split_rhat": stats.device_split_rhat(pieces),
@@ -780,26 +814,43 @@ class _HedgedFetcher:
 
         if self.hedge_s <= 0:
             return fut.result()
+        pending = set()
         try:
             return fut.result(timeout=self.hedge_s)
         except cf.TimeoutError:
-            pass
-        logger.warning(
-            f"{label} transfer stalled for {self.hedge_s:.0f}s; racing a second transfer"
-        )
+            pending.add(fut)
+            logger.warning(
+                f"{label} transfer stalled for {self.hedge_s:.0f}s; racing a second transfer"
+            )
+        except Exception as e:
+            # A broken-tunnel RPC error on the primary is the same flake the
+            # hedge exists for — retry once from a fresh thread before giving up.
+            logger.warning(
+                f"{label} transfer failed ({type(e).__name__}); retrying from a fresh thread"
+            )
         if self._pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(max_workers=2)
-        f2 = self._pool.submit(np.asarray, buf)
-        pending = {fut, f2}
+        pending.add(self._pool.submit(np.asarray, buf))
         while True:
-            done, pending_now = cf.wait(
+            done, pending = cf.wait(
                 pending, timeout=max(60.0, self.hedge_s), return_when=cf.FIRST_COMPLETED
             )
+            for f in done:
+                if f.exception() is None:
+                    return f.result()
             if done:
-                return done.pop().result()
-            logger.warning(f"{label}: both transfers still pending; waiting")
+                # the completed racer failed; re-raise only once nothing is left
+                if not pending:
+                    raise next(iter(done)).exception()
+                logger.warning(
+                    f"{label}: a racing transfer failed "
+                    f"({type(next(iter(done)).exception()).__name__}); "
+                    "waiting on the surviving one"
+                )
+            else:
+                logger.warning(f"{label}: transfers still pending; waiting")
 
     def shutdown(self):
         # Stalled duplicate threads may survive; don't wait on them.

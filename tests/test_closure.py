@@ -239,6 +239,103 @@ def test_batched_closure_checkpoint_resume(closure_setup, monkeypatch):
         )
 
 
+@pytest.mark.slow
+def test_batched_closure_checkpoint_double_interrupt(closure_setup, monkeypatch):
+    """A resume that is ITSELF interrupted stays resumable: the checkpoint
+    rewrite preserves the prior run's records, the second resume appends to
+    them, and the final run matches an uninterrupted one bit-exactly. Also
+    guards the torn-artifact path: a streamed chain shorter than the
+    checkpoint step must raise instead of being silently zero-filled."""
+    import pickle
+
+    from bayesian_inference_tpu.mcmc.runner import run_closure_batch
+
+    config_path, analysis_name, param, analysis_config = closure_setup
+    indices = [0, 1]
+    base_cfg = MCMCConfig(
+        analysis_name=analysis_name, parameterization=param,
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+    kw = dict(seed=0, dispatch_chunk=10, checkpoint_every=10)
+    full = run_closure_batch(base_cfg, indices, **kw)
+    for i in indices:
+        cfg_i = MCMCConfig(
+            analysis_name=analysis_name, parameterization=param,
+            analysis_config=analysis_config, config_file=str(config_path),
+            closure_index=i,
+        )
+        import shutil
+
+        shutil.rmtree(cfg_i.mcmc_output_dir)
+
+    ckpt = Path(base_cfg.output_dir) / "closure" / "closure_checkpoint.pkl"
+    monkeypatch.setenv("BIQ_CLOSURE_ABORT_AFTER_CHUNKS", "2")
+    with pytest.raises(RuntimeError, match="aborted by"):
+        run_closure_batch(base_cfg, indices, **kw)
+    monkeypatch.setenv("BIQ_CLOSURE_ABORT_AFTER_CHUNKS", "1")
+    with pytest.raises(RuntimeError, match="aborted by"):
+        run_closure_batch(base_cfg, indices, **kw)  # resume, then abort again
+
+    # header + the 2 preserved records + the 1 new one survive on disk
+    with open(ckpt, "rb") as f:
+        header = pickle.load(f)
+        records = []
+        while True:
+            try:
+                records.append(pickle.load(f))
+            except EOFError:
+                break
+    assert header["n_walkers"] == base_cfg.n_walkers and header["n_pad"] == 0
+    assert [r["steps_done"] for r in records] == [10, 20, 30]
+
+    monkeypatch.delenv("BIQ_CLOSURE_ABORT_AFTER_CHUNKS")
+    resumed = run_closure_batch(base_cfg, indices, **kw)
+    assert not ckpt.exists()
+    for i in indices:
+        np.testing.assert_array_equal(resumed[i]["chain"], full[i]["chain"])
+        np.testing.assert_array_equal(resumed[i]["log_prob"], full[i]["log_prob"])
+
+    # torn-artifact guard: chain shorter than the checkpoint step -> error
+    monkeypatch.setenv("BIQ_CLOSURE_ABORT_AFTER_CHUNKS", "2")
+    with pytest.raises(RuntimeError, match="aborted by"):
+        run_closure_batch(base_cfg, indices, **kw)
+    monkeypatch.delenv("BIQ_CLOSURE_ABORT_AFTER_CHUNKS")
+    import h5py
+
+    cfg_0 = MCMCConfig(
+        analysis_name=analysis_name, parameterization=param,
+        analysis_config=analysis_config, config_file=str(config_path),
+        closure_index=indices[0],
+    )
+    with h5py.File(Path(cfg_0.mcmc_output_dir) / "mcmc.h5", "a") as f:
+        f["chain"].resize(5, axis=0)  # torn write: shorter than checkpoint
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        run_closure_batch(base_cfg, indices, **kw)
+
+
+def test_closure_checkpoint_header_compatibility(tmp_path):
+    """_read_closure_checkpoint rejects checkpoints whose shape-defining
+    header fields (mesh pad width, walker count, ...) differ from the
+    resuming run's, so a mesh change restarts fresh with a clear message
+    instead of a broadcast error deep in the vmapped sampler."""
+    import pickle
+
+    from bayesian_inference_tpu.mcmc.runner import _read_closure_checkpoint
+
+    header = {"version": 2, "n_total": 40, "indices": [0, 1], "seed": 0,
+              "n_walkers": 8, "ndim": 6, "n_pad": 4}
+    record = {"steps_done": 10}
+    path = tmp_path / "closure_checkpoint.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(header, f)
+        pickle.dump(record, f)
+
+    assert _read_closure_checkpoint(str(path), dict(header)) == [record]
+    for k, v in [("n_pad", 0), ("n_walkers", 16), ("ndim", 4), ("seed", 1),
+                 ("version", 1), ("indices", [0, 2])]:
+        assert _read_closure_checkpoint(str(path), {**header, k: v}) is None
+
+
 def test_closure_batch_return_chains_false(closure_setup):
     """return_chains=False keeps chains out of the returned dicts (production
     memory bound) while the on-disk artifacts stay complete.

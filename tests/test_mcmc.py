@@ -652,3 +652,63 @@ def test_chunked_production_with_forced_hedging(likelihood_setup, monkeypatch):
     out_hedged = run_mcmc(cfg, seed=7, checkpoint_every=16)
     np.testing.assert_array_equal(out_hedged["chain"], out_plain["chain"])
     np.testing.assert_array_equal(out_hedged["log_prob"], out_plain["log_prob"])
+
+
+def test_hedged_fetcher_survives_failed_primary():
+    """A primary that ERRORS (broken tunnel RPC) must not sink the fetch:
+    before the hedge fires it triggers a one-shot retry; after the hedge
+    fires, a failed racer is dropped while the healthy one is still in
+    flight (the whole point of the hedge)."""
+    import threading
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+    from bayesian_inference_tpu.mcmc.runner import _HedgedFetcher
+
+    data = np.arange(6.0).reshape(2, 3)
+
+    class SlowBuf:
+        """np.asarray(self) takes ~0.3 s — keeps the hedge in flight while
+        the primary fails."""
+        def __array__(self, dtype=None, copy=None):
+            time.sleep(0.3)
+            return data if dtype is None else data.astype(dtype)
+
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    # 1) primary fails FAST (before the hedge deadline): retried once
+    def _boom():
+        raise OSError("simulated tunnel RPC failure")
+
+    hedge = _HedgedFetcher(hedge_s=5.0)
+    out = hedge.result(pool.submit(_boom), data, "fast-fail")
+    np.testing.assert_array_equal(out, data)
+    hedge.shutdown()
+
+    # 2) primary stalls past the deadline, THEN fails while the hedge
+    #    transfer is still healthy and in flight: the hedge's result wins
+    fail_now = threading.Event()
+
+    def _stall_then_boom():
+        fail_now.wait(30.0)
+        raise OSError("simulated stalled-then-broken RPC")
+
+    hedge = _HedgedFetcher(hedge_s=0.05)
+    primary = pool.submit(_stall_then_boom)
+    t = threading.Timer(0.1, fail_now.set)  # fail after hedge fires
+    t.start()
+    out = hedge.result(primary, SlowBuf(), "stall-then-fail")
+    np.testing.assert_array_equal(out, data)
+    t.join()
+    hedge.shutdown()
+
+    # 3) every transfer fails: the error is raised, not swallowed
+    hedge = _HedgedFetcher(hedge_s=0.05)
+    with pytest.raises(OSError, match="simulated"):
+        hedge.result(pool.submit(_boom), _FailingBuf(), "all-fail")
+    hedge.shutdown()
+    pool.shutdown(wait=False)
+
+
+class _FailingBuf:
+    def __array__(self, dtype=None, copy=None):
+        raise OSError("simulated hedge failure")
