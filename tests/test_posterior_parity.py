@@ -92,7 +92,10 @@ def test_parity_on_emulated_posterior(tmp_path):
     # the JAX chain is one scan — so the oracle runs a shorter chain and the
     # on-chip chain keeps full length; KS/quantile comparisons below handle
     # the unequal sample sizes.
-    W, n_steps_np, burn_np, n_steps_jax, burn_jax = 32, 3000, 1000, 6000, 1500
+    # Chain lengths sized for suite runtime: the heavyweight parity evidence
+    # (16k steps, 3 seeds, on-device) lives in docs/PARITY.md via
+    # scripts/parity_check.py; this test guards the CPU path each run.
+    W, n_steps_np, burn_np, n_steps_jax, burn_jax = 32, 2200, 800, 4400, 1100
     rng = np.random.default_rng(2)
     x0 = rng.uniform(pspec["min"], pspec["max"], (W, 6))
     x0 = 0.5 * (x0 + np.mean([pspec["min"], pspec["max"]], axis=0))
