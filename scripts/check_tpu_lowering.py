@@ -74,21 +74,16 @@ def _make_likelihood():
         prior_var=jnp.ones((k,), jnp.float32),
         lml=jnp.zeros((k,), jnp.float32),
     )
-    from bayesian_inference_tpu.ops.pallas_mvn import outer_factor
-
-    U, D, d0, UU = [], [], [], []
+    U, D, d0 = [], [], []
     for nb, cnt in ((8, 3), (16, 4)):
-        Un = (rng.normal(size=(cnt, nb, k)) * 0.1).astype(f32)
-        Dn = np.broadcast_to(np.eye(nb, dtype=f32), (cnt, nb, nb))
-        U.append(jnp.asarray(Un))
-        D.append(jnp.asarray(Dn))
+        U.append(jnp.asarray(rng.normal(size=(cnt, nb, k)).astype(f32) * 0.1))
+        D.append(jnp.asarray(np.broadcast_to(np.eye(nb, dtype=f32), (cnt, nb, nb))))
         d0.append(jnp.asarray(rng.normal(size=(cnt, nb)).astype(f32)))
-        UU.append(jnp.asarray(outer_factor(Un, np.asarray(Dn))))
     return EmulatorLikelihood(
         groups=(GroupGPs(cfg=KernelConfig(nu=1.5, with_noise=True), posts=posts),),
         theta_min=jnp.zeros((d,), jnp.float32),
         theta_max=jnp.ones((d,), jnp.float32),
-        U=tuple(U), D=tuple(D), d0=tuple(d0), UU=tuple(UU), wb=None, mode="block",
+        U=tuple(U), D=tuple(D), d0=tuple(d0), wb=None, mode="block",
     )
 
 

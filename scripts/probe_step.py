@@ -67,8 +67,8 @@ def lp_kernel_only(x):
     z = z_const[: x.shape[0]] + x[:, :1] * 0.0
     v = v_const[: x.shape[0]]
     ll = None
-    for U_b, D_b, d0_b, UU_b in zip(like.U, like.D, like.d0, like.UU):
-        term = fused_block_mvn_loglike(U_b, D_b, d0_b, z, v, UU=UU_b)
+    for U_b, D_b, d0_b in zip(like.U, like.D, like.d0):
+        term = fused_block_mvn_loglike(U_b, D_b, d0_b, z, v)
         ll = term if ll is None else ll + term
     return ll
 

@@ -112,21 +112,17 @@ def bucketize_blocks(
     U_rows: Sequence[np.ndarray],
     D_rows: Sequence[np.ndarray],
     d0_rows: Sequence[np.ndarray],
-) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
     """Stack per-observable (w,k)/(w,w)/(w,) blocks into bucketed padded tensors.
 
     Padded rows get identity covariance and zero residual (contribute exactly
-    0 to the log-likelihood). Returns four lists aligned with
+    0 to the log-likelihood). Returns three lists aligned with
     ``bucket_layout`` order: U (n_obs_b, nb, k), D (n_obs_b, nb, nb),
-    d0 (n_obs_b, nb), and UU (n_obs_b, nb*nb, k+1) — the precomputed
-    outer-product factor for the one-matmul covariance assembly
-    (ops/pallas_mvn.outer_factor).
+    d0 (n_obs_b, nb).
     """
-    from bayesian_inference_tpu.ops.pallas_mvn import outer_factor
-
     widths = [u.shape[0] for u in U_rows]
     k = U_rows[0].shape[1]
-    Us, Ds, d0s, UUs = [], [], [], []
+    Us, Ds, d0s = [], [], []
     for nb, idxs in bucket_layout(widths):
         U_pad = np.zeros((len(idxs), nb, k))
         D_pad = np.tile(np.eye(nb), (len(idxs), 1, 1))
@@ -139,8 +135,7 @@ def bucketize_blocks(
         Us.append(U_pad)
         Ds.append(D_pad)
         d0s.append(d0_pad)
-        UUs.append(outer_factor(U_pad, D_pad))
-    return Us, Ds, d0s, UUs
+    return Us, Ds, d0s
 
 
 @struct.dataclass
@@ -154,9 +149,6 @@ class EmulatorLikelihood:
     U: tuple[jax.Array, ...]   # each (n_obs_b, nb, k_total)
     D: tuple[jax.Array, ...]   # each (n_obs_b, nb, nb) constant covariance (+ data errors, padded diag=1)
     d0: tuple[jax.Array, ...]  # each (n_obs_b, nb)     constant residual offset (m0 - y), padded 0
-    # precomputed outer-product assembly factor, each (n_obs_b, nb*nb, k+1)
-    # (ops/pallas_mvn.outer_factor; last column = vec(D))
-    UU: tuple[jax.Array, ...]
     # lowrank mode tensors
     wb: WoodburyNormal | None
     mode: str = struct.field(pytree_node=False, default="block")
@@ -188,8 +180,8 @@ class EmulatorLikelihood:
             # Cholesky + loglike in VMEM — no (W, n_obs, nb, nb) tensor ever
             # hits HBM.
             ll = None
-            for U_b, D_b, d0_b, UU_b in zip(self.U, self.D, self.d0, self.UU):
-                term = fused_block_mvn_loglike(U_b, D_b, d0_b, z, v, UU=UU_b)
+            for U_b, D_b, d0_b in zip(self.U, self.D, self.d0):
+                term = fused_block_mvn_loglike(U_b, D_b, d0_b, z, v)
                 ll = term if ll is None else ll + term
             return ll
         if self.mode == "lowrank":
@@ -350,7 +342,7 @@ def build_likelihood(
         U_rows.append(U_i)
         D_rows.append(sigma_group[gname][grp_slice, grp_slice] + np.diag(y_err[g_slice] ** 2))
         d0_rows.append(m0_group[gname][grp_slice] - y[g_slice])
-    U_bkts, D_bkts, d0_bkts, UU_bkts = bucketize_blocks(U_rows, D_rows, d0_rows)
+    U_bkts, D_bkts, d0_bkts = bucketize_blocks(U_rows, D_rows, d0_rows)
 
     # ---- lowrank-mode global tensors ---------------------------------------------
     wb = None
@@ -398,7 +390,6 @@ def build_likelihood(
         U=tuple(to_device(u) for u in U_bkts),
         D=tuple(to_device(d) for d in D_bkts),
         d0=tuple(to_device(d) for d in d0_bkts),
-        UU=tuple(to_device(u) for u in UU_bkts),
         wb=wb,
         mode=mode,
     )

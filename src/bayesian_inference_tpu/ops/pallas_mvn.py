@@ -30,7 +30,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -188,86 +187,6 @@ def _fused_kernel_packed(nb: int, m: int, wt: int, u_ref, d_ref, z_ref, v_ref, o
     out_ref[0] = jnp.broadcast_to(-0.5 * quad - half_logdet, (8, lanes))
 
 
-def _fused_kernel_packed_outer(nb: int, m: int, wt: int, u_ref, uu_ref, z_ref, v_ref, out_ref):
-    """Outer-product packed kernel: covariance assembly as ONE MXU matmul.
-
-    Same math as ``_fused_kernel_packed``, but the per-column assembly dots
-    (m*(1+nb) small (nb, k+1) x (k+1, lanes) matmuls per program — each using
-    nb of the MXU's 128 rows) are replaced by m matmuls on a host-precomputed
-    outer-product factor UU (nb^2, k+1) whose LAST column carries vec(D) (the
-    wrapper feeds a ones-row in v), so
-
-        A[g*nb+f, w] = D[f, g] + sum_k U[f, k] U[g, k] v[k, w]
-
-    arrives in one (nb^2, k+1) x (k+1, lanes) product; covariance column g is
-    the sublane slice A[g*nb:(g+1)*nb] (nb is always a multiple of 8 from
-    bucket_layout, so the slices are tile-aligned). The Cholesky sweep is
-    identical to ``_fused_kernel_packed`` — only the assembly changes.
-    """
-    z = z_ref[:]            # (k+1, m*wt) — last row ones (d0 slot)
-    v = v_ref[:]            # (k+1, m*wt) — last row ones (D slot)
-    f32 = jnp.float32
-    hp = jax.lax.Precision.HIGHEST
-    lanes = z.shape[-1]
-    seg_b = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 1) // wt
-    seg_a = jax.lax.broadcasted_iota(jnp.int32, (nb * nb, lanes), 1) // wt
-
-    b = jax.lax.dot(u_ref[0, 0], z, precision=hp)
-    A = jax.lax.dot(uu_ref[0, 0], v, precision=hp)
-    for j in range(1, m):
-        b = jnp.where(seg_b == j, jax.lax.dot(u_ref[0, j], z, precision=hp), b)
-        A = jnp.where(seg_a == j, jax.lax.dot(uu_ref[0, j], v, precision=hp), A)
-    cols = [A[g * nb : (g + 1) * nb, :] for g in range(nb)]
-
-    quad = jnp.zeros((1, lanes), f32)
-    half_logdet = jnp.zeros((1, lanes), f32)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 0)
-    for j in range(nb):
-        pivot = cols[j][j : j + 1, :]
-        inv_p = jax.lax.rsqrt(pivot)
-        col = cols[j] * inv_p
-        col = jnp.where(row_ids >= j, col, jnp.zeros_like(col))
-        y_j = b[j : j + 1, :] * inv_p
-        b = b - col * y_j
-        quad = quad + y_j * y_j
-        half_logdet = half_logdet + 0.5 * jnp.log(pivot)
-        for g in range(j + 1, nb):
-            cols[g] = cols[g] - col * col[g : g + 1, :]
-
-    out_ref[0] = jnp.broadcast_to(-0.5 * quad - half_logdet, (8, lanes))
-
-
-@functools.partial(jax.jit, static_argnames=("wt", "interpret"))
-def _fused_packed_outer_mvn_pallas(Up, UUp, zT, vT, wt: int, interpret: bool = False):
-    """(n_grp,m,nb,k+1),(n_grp,m,nb^2,k+1),(k+1,128),(k+1,128) -> (n_grp, 8, 128)."""
-    n_grp, m, nb, k1 = Up.shape
-    kernel = functools.partial(_fused_kernel_packed_outer, nb, m, wt)
-    return pl.pallas_call(
-        kernel,
-        grid=(n_grp,),
-        out_shape=jax.ShapeDtypeStruct((n_grp, 8, m * wt), Up.dtype),
-        in_specs=[
-            pl.BlockSpec((1, m, nb, k1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, nb * nb, k1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k1, m * wt), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k1, m * wt), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, m * wt), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(Up, UUp, zT, vT)
-
-
-def outer_factor(U, D):
-    """Host/XLA precompute for the outer-product kernel: (B, nb, k), (B, nb, nb)
-    -> (B, nb^2, k+1) with rows g*nb+f = [U[f,:]*U[g,:], D[f,g]]. Both the
-    outer part and D are symmetric in (f, g), so row-major order is safe."""
-    # numpy in -> numpy out (host builders must not trigger eager device ops)
-    xp = np if isinstance(U, np.ndarray) else jnp
-    B, nb, k = U.shape
-    o = (U[:, :, None, :] * U[:, None, :, :]).reshape(B, nb * nb, k)
-    return xp.concatenate([o, D.reshape(B, nb * nb, 1)], axis=-1)
-
-
 @functools.partial(jax.jit, static_argnames=("wt", "interpret"))
 def _fused_packed_mvn_pallas(Up, Dp, zT, vT, wt: int, interpret: bool = False):
     """(n_grp,m,nb,k+1),(n_grp,m,nb,nb),(k+1,128),(k+1,128) -> (n_grp, 8, 128)."""
@@ -316,7 +235,6 @@ def fused_block_mvn_loglike(
     d0: jax.Array,
     z: jax.Array,
     v: jax.Array,
-    UU: jax.Array | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Block-likelihood from emulator PC predictions, fully fused on TPU.
@@ -327,12 +245,6 @@ def fused_block_mvn_loglike(
     observables); padded rows carry identity/zero blocks contributing 0,
     exactly as in the composed path.
 
-    ``UU`` is the optional precomputed ``outer_factor(U, D)`` (n_obs, nb^2,
-    k+1): when given (the likelihood pytree carries it) and nb is
-    tile-aligned, the packed kernel assembles each covariance with ONE matmul
-    instead of nb+1 per block copy. BIQ_MVN_OUTER=0 forces the per-column
-    assembly kernel for A/B.
-
     Off-TPU (or with interpret=None on a non-TPU lowering) falls back to the
     composed XLA implementation — identical math, used as the parity oracle in
     tests/test_ops.py.
@@ -340,15 +252,14 @@ def fused_block_mvn_loglike(
     n_obs, nb, k = U.shape
     W = z.shape[0]
 
-    def composed(U, D, d0, z, v, UU):
-        del UU
+    def composed(U, D, d0, z, v):
         dY = d0 + jnp.einsum("bfk,wk->wbf", U, z)
         C = D + jnp.einsum("bfk,wk,bgk->wbfg", U, v, U)
         from bayesian_inference_tpu.ops.cholesky import tiny_mvn_loglike
 
         return jnp.sum(tiny_mvn_loglike(dY, C), axis=-1)
 
-    def pallas_path(U, D, d0, z, v, UU, *, interp=False):
+    def pallas_path(U, D, d0, z, v, *, interp=False):
         import os as _os
 
         # Fold d0 into U's last column (ones-row in z, zeros-row in v): the
@@ -357,6 +268,7 @@ def fused_block_mvn_loglike(
         ones = jnp.ones((W, 1), z.dtype)
         zeros = jnp.zeros((W, 1), v.dtype)
         ze = jnp.concatenate([z, ones], axis=1)
+        ve = jnp.concatenate([v, zeros], axis=1)
 
         # Lane-packed variant: narrow walker batches (the sampler evaluates
         # HALF the ensemble, e.g. 50 of 100 walkers) pack m observable blocks
@@ -367,77 +279,33 @@ def fused_block_mvn_loglike(
             # per-program unrolling at m=8)
             wt = next(t for t in (16, 32, 64) if t >= W)
             m = 128 // wt
-            # Outer-product assembly (one matmul per block copy) needs
-            # tile-aligned column slices; bucketize always pads nb to a
-            # multiple of 8, odd nb only occurs in direct test calls.
-            use_outer = nb % 8 == 0 and _os.environ.get("BIQ_MVN_OUTER", "1") != "0"
-            if use_outer:
-                # ones-row in v picks up vec(D) from UU's last column; padded
-                # walker lanes keep that row so their covariance stays D
-                # (SPD, no NaNs) while their z rows are zero — those lanes
-                # are sliced away below regardless.
-                ve = jnp.concatenate([v, jnp.ones((W, 1), v.dtype)], axis=1)
-            else:
-                ve = jnp.concatenate([v, zeros], axis=1)
             pad_w = wt - W
             if pad_w:
                 ze_p = jnp.concatenate([ze, jnp.zeros((pad_w, k + 1), z.dtype)], axis=0)
-                pad_v = jnp.zeros((pad_w, k + 1), v.dtype)
-                if use_outer:
-                    pad_v = jnp.concatenate(
-                        [jnp.zeros((pad_w, k), v.dtype), jnp.ones((pad_w, 1), v.dtype)], axis=1
-                    )
-                ve_p = jnp.concatenate([ve, pad_v], axis=0)
+                ve_p = jnp.concatenate([ve, jnp.zeros((pad_w, k + 1), v.dtype)], axis=0)
             else:
                 ze_p, ve_p = ze, ve
             zT = jnp.tile(ze_p.T, (1, m))     # (k+1, 128): m walker-segment copies
             vT = jnp.tile(ve_p.T, (1, m))
             pad_b = (-n_obs) % m
+            Ue_p, D_p = Ue, D
+            if pad_b:
+                # padded blocks: identity covariance, zero residual -> ll 0
+                Ue_p = jnp.concatenate(
+                    [Ue, jnp.zeros((pad_b, nb, k + 1), U.dtype)], axis=0
+                )
+                D_p = jnp.concatenate(
+                    [D, jnp.broadcast_to(jnp.eye(nb, dtype=D.dtype), (pad_b, nb, nb))], axis=0
+                )
             n_grp = (n_obs + pad_b) // m
-
-            if use_outer:
-                UU_p = outer_factor(U, D) if UU is None else UU
-                if pad_b:
-                    # padded blocks: identity covariance (vec(I) in the D
-                    # column), zero residual -> ll contribution exactly 0
-                    eye_col = jnp.broadcast_to(
-                        jnp.eye(nb, dtype=D.dtype).reshape(1, nb * nb, 1),
-                        (pad_b, nb * nb, 1),
-                    )
-                    UU_p = jnp.concatenate(
-                        [UU_p, jnp.concatenate(
-                            [jnp.zeros((pad_b, nb * nb, k), U.dtype), eye_col], axis=-1
-                        )], axis=0,
-                    )
-                    Ue_p = jnp.concatenate(
-                        [Ue, jnp.zeros((pad_b, nb, k + 1), U.dtype)], axis=0
-                    )
-                else:
-                    Ue_p = Ue
-                ll = _fused_packed_outer_mvn_pallas(
-                    Ue_p.reshape(n_grp, m, nb, k + 1),
-                    UU_p.reshape(n_grp, m, nb * nb, k + 1),
-                    zT, vT, wt=wt, interpret=interp,
-                )
-            else:
-                Ue_p, D_p = Ue, D
-                if pad_b:
-                    # padded blocks: identity covariance, zero residual -> ll 0
-                    Ue_p = jnp.concatenate(
-                        [Ue, jnp.zeros((pad_b, nb, k + 1), U.dtype)], axis=0
-                    )
-                    D_p = jnp.concatenate(
-                        [D, jnp.broadcast_to(jnp.eye(nb, dtype=D.dtype), (pad_b, nb, nb))], axis=0
-                    )
-                ll = _fused_packed_mvn_pallas(
-                    Ue_p.reshape(n_grp, m, nb, k + 1),
-                    D_p.reshape(n_grp, m, nb, nb),
-                    zT, vT, wt=wt, interpret=interp,
-                )
+            ll = _fused_packed_mvn_pallas(
+                Ue_p.reshape(n_grp, m, nb, k + 1),
+                D_p.reshape(n_grp, m, nb, nb),
+                zT, vT, wt=wt, interpret=interp,
+            )
             per_obs = ll[:, 0, :].reshape(n_grp * m, wt)
             return jnp.sum(per_obs[:, :W], axis=0)
 
-        ve = jnp.concatenate([v, zeros], axis=1)
         pad = (-W) % 128
         if pad:
             ze = jnp.concatenate([ze, jnp.zeros((pad, k + 1), z.dtype)], axis=0)
@@ -446,7 +314,7 @@ def fused_block_mvn_loglike(
         return jnp.sum(ll[:, 0, :W], axis=0)
 
     if interpret is not None:
-        return pallas_path(U, D, d0, z, v, UU, interp=interpret)
+        return pallas_path(U, D, d0, z, v, interp=interpret)
     if nb > 48:
         from bayesian_inference_tpu.ops.mvn import mvn_loglike_dense
 
@@ -454,7 +322,7 @@ def fused_block_mvn_loglike(
         C = D + jnp.einsum("bfk,wk,bgk->wbfg", U, v, U)
         return jnp.sum(mvn_loglike_dense(dY, C), axis=-1)
     return jax.lax.platform_dependent(
-        U, D, d0, z, v, UU, tpu=pallas_path, default=composed
+        U, D, d0, z, v, tpu=pallas_path, default=composed
     )
 
 

@@ -140,61 +140,6 @@ def test_fused_packed_mvn_high_packing_factor():
         np.testing.assert_allclose(ours, _fused_ref(U, D, d0, z, v), rtol=1e-8)
 
 
-def test_fused_packed_outer_interpret_matches_scipy():
-    """Tile-aligned nb (multiple of 8) selects the outer-product assembly
-    kernel (one matmul per block copy). Parity vs scipy at the production
-    half-ensemble width (W=50 -> wt=64, m=2) with an odd block count (B=5 ->
-    exercises the vec(I)-column block padding), both with UU computed inline
-    and with the precomputed ``outer_factor`` the likelihood pytree carries."""
-    from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike, outer_factor
-
-    U, D, d0, z, v = _random_fused(W=50, B=5, nb=8, k=9, seed=21)
-    ref = _fused_ref(U, D, d0, z, v)
-    args = tuple(jnp.asarray(a) for a in (U, D, d0, z, v))
-    inline = np.asarray(fused_block_mvn_loglike(*args, interpret=True))
-    np.testing.assert_allclose(inline, ref, rtol=1e-8)
-    UU = jnp.asarray(outer_factor(U, D))
-    precomputed = np.asarray(fused_block_mvn_loglike(*args, UU=UU, interpret=True))
-    np.testing.assert_allclose(precomputed, ref, rtol=1e-8)
-
-
-def test_fused_packed_outer_high_packing_factor():
-    """Outer kernel at m=8 (W=16, no walker padding) and m=8 with in-segment
-    walker padding (W=13), nb=16 (two sublane tiles per covariance column)."""
-    from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike, outer_factor
-
-    for W in (16, 13):
-        U, D, d0, z, v = _random_fused(W=W, B=9, nb=16, k=6, seed=31 + W)
-        UU = jnp.asarray(outer_factor(U, D))
-        ours = np.asarray(
-            fused_block_mvn_loglike(
-                *(jnp.asarray(a) for a in (U, D, d0, z, v)), UU=UU, interpret=True
-            )
-        )
-        np.testing.assert_allclose(ours, _fused_ref(U, D, d0, z, v), rtol=1e-8)
-
-
-def test_fused_packed_outer_vmap_over_d0():
-    """Closure-batch shape: mapped d0 with broadcast U/D/UU through the
-    outer-product kernel's pallas batching rule."""
-    import jax
-
-    from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike, outer_factor
-
-    U, D, d0, z, v = _random_fused(W=5, B=3, nb=8, k=7, seed=41)
-    UU = jnp.asarray(outer_factor(U, D))
-    P = 4
-    d0_batch = np.stack([d0 * (1 + 0.1 * p) for p in range(P)])
-    out = jax.vmap(
-        lambda d: fused_block_mvn_loglike(
-            jnp.asarray(U), jnp.asarray(D), d, jnp.asarray(z), jnp.asarray(v),
-            UU=UU, interpret=True,
-        )
-    )(jnp.asarray(d0_batch))
-    ref = np.stack([_fused_ref(U, D, d0_batch[p], z, v) for p in range(P)])
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-8)
-
-
 def test_fused_block_mvn_dispatch_cpu_path():
     from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike
 
