@@ -570,10 +570,16 @@ def run_closure_batch(
         else:
             ckpt_file = open(ckpt_path, "wb")
             pickle.dump(ckpt_header, ckpt_file)
+    quant = _ChainQuantizer.from_config(config, like)
+    if quant is not None:
+        # device idle here (burn-in downloaded / resume state uploaded):
+        # safe window for the quantize program's first-exec compile.
+        quant.prewarm([(n, P + n_pad, W, ndim) for n in sorted(set(sizes))])
     pending = []
     for n in sizes:
         states, ys = run_chunk_batched(states, fn, d0_batch, n, shared_aux=like)
-        pending.append((n, ys, states))
+        qc = quant.quantize(ys[0]) if quant is not None else None
+        pending.append((n, ys, qc, states))
     # Fault-injection hook: abort after N chunk downloads (exercises the
     # checkpoint/resume path in tests without killing the process).
     abort_after = int(os.environ.get("BIQ_CLOSURE_ABORT_AFTER_CHUNKS", "0") or 0)
@@ -590,17 +596,21 @@ def run_closure_batch(
 
     def _prefetch(i_chunk):
         if 0 <= i_chunk < len(pending) and i_chunk not in inflight:
-            ys_i = pending[i_chunk][1]
+            _n, ys_i, qc_i, _s = pending[i_chunk]
             inflight[i_chunk] = (
-                pool.submit(np.asarray, ys_i[0]), pool.submit(np.asarray, ys_i[1])
+                pool.submit(np.asarray, ys_i[0] if qc_i is None else qc_i),
+                pool.submit(np.asarray, ys_i[1]),
             )
 
     _prefetch(0)
     hedge = _HedgedFetcher()
-    for i_chunk, (n, ys, snap) in enumerate(pending):
+    for i_chunk, (n, ys, qc, snap) in enumerate(pending):
         _prefetch(i_chunk + 1)
         f_chain, f_logp = inflight.pop(i_chunk)
-        chain_slab = hedge.result(f_chain, ys[0], "closure chain slab")  # (n, P+pad, W, d)
+        raw = hedge.result(
+            f_chain, ys[0] if qc is None else qc, "closure chain slab"
+        )  # (n, P+pad, W, d)
+        chain_slab = raw if quant is None else quant.dequantize(raw)
         logp_slab = hedge.result(f_logp, ys[1], "closure log-prob slab")
         for p, i in enumerate(closure_indices):
             hdf5.append_time_series(
@@ -637,13 +647,13 @@ def run_closure_batch(
     # only: a resumed prefix lives in the per-point h5 files (host fallback).
     device_stats = None  # (power (P,K,d), nfft, rhat (P,d)) when on-accelerator
     if sum(sizes) == n_total:  # fresh run: every step's slab is on device
-        probe = next((ys[0] for _, ys, _ in pending if hasattr(ys[0], "devices")), None)
+        probe = next((ys[0] for _, ys, _qc, _ in pending if hasattr(ys[0], "devices")), None)
         if (
             probe is not None
             and next(iter(probe.devices())).platform != "cpu"
             and os.environ.get("BIQ_DEVICE_ACF", "1").lower() not in ("0", "false")
         ):
-            device_stats = stats.device_closure_stats([ys[0] for _, ys, _ in pending])
+            device_stats = stats.device_closure_stats([ys[0] for _, ys, _qc, _ in pending])
 
     acceptance = (acc_offset + np.asarray(states.n_accepted, np.int64)).astype(float) / n_total
     logger.info(
@@ -788,6 +798,69 @@ def _device_chain_stats(pieces) -> dict[str, Any]:
     return out
 
 
+@jax.jit
+def _quantize_box_u16(x, tmin, scale):
+    q = jnp.rint((x - tmin) * scale)
+    return jnp.clip(q, 0.0, 65535.0).astype(jnp.uint16)
+
+
+class _ChainQuantizer:
+    """Opt-in uint16 chain transfer (config ``chain_transfer: uint16`` /
+    ``BIQ_CHAIN_TRANSFER=uint16``).
+
+    Walker coordinates always lie inside the prior box (out-of-box proposals
+    get -inf and are rejected), so they quantize losslessly-in-structure to
+    uint16 in prior-box units: q = rint((x - min) * 65535 / range), computed
+    ON DEVICE so the d2h transfer — the bench's dominant phase — carries half
+    the bytes. Host-side dequantization back to the archive dtype happens
+    before anything is written to mcmc.h5 (the artifact schema is unchanged);
+    per-coordinate absolute rounding error is <= range/131070, and
+    docs/PARITY.md records the resulting posterior-quantile/tau deltas («
+    the chains' own MC error). The default transfer remains lossless.
+
+    ``prewarm`` executes the quantize program on zeros of each chunk shape
+    BEFORE production chunks dispatch: the tunneled service defers server
+    compilation to first execution, and compiling while the device executes
+    is the known worker-crash hazard (NOTES.md 2026-08-16).
+    """
+
+    MODES = ("uint16",)
+
+    def __init__(self, theta_min, theta_max, dt):
+        self.np_dt = np.dtype(str(dt))
+        self.tmin = np.asarray(theta_min, np.float64)
+        self.tmax = np.asarray(theta_max, np.float64)
+        # host-cast then device_put (CLAUDE.md: on-device casts compile)
+        self._tmin_dev = jax.device_put(np.asarray(self.tmin, self.np_dt))
+        self._scale_dev = jax.device_put(
+            np.asarray(65535.0 / (self.tmax - self.tmin), self.np_dt)
+        )
+
+    @classmethod
+    def from_config(cls, config, like) -> "_ChainQuantizer | None":
+        mode = getattr(config, "chain_transfer", "") or ""
+        if not mode:
+            return None
+        if mode not in cls.MODES:
+            logger.warning(f"unknown chain_transfer {mode!r}; using lossless transfer")
+            return None
+        if like is None:
+            logger.warning("chain_transfer needs the likelihood operand; using lossless")
+            return None
+        return cls(np.asarray(like.theta_min), np.asarray(like.theta_max), like.theta_min.dtype)
+
+    def quantize(self, chain):
+        return _quantize_box_u16(chain, self._tmin_dev, self._scale_dev)
+
+    def prewarm(self, shapes) -> None:
+        for shape in shapes:
+            np.asarray(self.quantize(jnp.zeros(shape, self.np_dt)))
+
+    def dequantize(self, q: np.ndarray) -> np.ndarray:
+        x = self.tmin + np.asarray(q, np.float64) * ((self.tmax - self.tmin) / 65535.0)
+        return x.astype(self.np_dt)
+
+
 class _HedgedFetcher:
     """Tail-latency hedge for device->host transfers through the tunnel.
 
@@ -803,17 +876,28 @@ class _HedgedFetcher:
     BIQ_FETCH_HEDGE_S tunes the deadline (0 disables).
     """
 
-    def __init__(self, hedge_s: float | None = None):
+    def __init__(self, hedge_s: float | None = None, deadline_s: float | None = None):
         if hedge_s is None:
             hedge_s = float(os.environ.get("BIQ_FETCH_HEDGE_S", "45"))
+        if deadline_s is None:
+            deadline_s = float(os.environ.get("BIQ_FETCH_DEADLINE_S", "0") or 0)
+            if deadline_s <= 0:
+                # Escalation deadline: if BOTH the primary and the hedge hang
+                # (e.g. the tunnel itself died, not just one RPC), give up and
+                # raise instead of looping forever — the streamed mcmc.h5 +
+                # checkpoint make the run resumable, a silent hang does not.
+                deadline_s = max(20.0 * hedge_s, 600.0)
         self.hedge_s = hedge_s
+        self.deadline_s = deadline_s
         self._pool = None
 
     def result(self, fut, buf, label: str):
         import concurrent.futures as cf
+        import time as _t
 
         if self.hedge_s <= 0:
             return fut.result()
+        t0 = _t.monotonic()
         pending = set()
         try:
             return fut.result(timeout=self.hedge_s)
@@ -834,8 +918,20 @@ class _HedgedFetcher:
             self._pool = ThreadPoolExecutor(max_workers=2)
         pending.add(self._pool.submit(np.asarray, buf))
         while True:
+            remaining = self.deadline_s - (_t.monotonic() - t0)
+            if remaining <= 0:
+                raise TimeoutError(
+                    f"{label}: transfer still pending after "
+                    f"{_t.monotonic() - t0:.0f}s (both the primary and the "
+                    f"hedged RPC hung; deadline BIQ_FETCH_DEADLINE_S="
+                    f"{self.deadline_s:.0f}s). The streamed mcmc.h5 and "
+                    "checkpoint are intact — rerun to resume from the last "
+                    "complete chunk."
+                )
             done, pending = cf.wait(
-                pending, timeout=max(60.0, self.hedge_s), return_when=cf.FIRST_COMPLETED
+                pending,
+                timeout=min(max(60.0, self.hedge_s), remaining),
+                return_when=cf.FIRST_COMPLETED,
             )
             for f in done:
                 if f.exception() is None:
@@ -1059,9 +1155,15 @@ def _run_production(
     sizes = [dispatch_chunk] * (remaining // dispatch_chunk)
     if remaining % dispatch_chunk:
         sizes.append(remaining % dispatch_chunk)
+    quant = _ChainQuantizer.from_config(config, like)
+    if quant is not None:
+        # device idle here (burn-in downloaded): safe to first-exec/compile
+        W, ndim = x0.shape
+        quant.prewarm([(n, W, ndim) for n in sorted(set(sizes))])
     for n in sizes:
         state, ys = _chunk(state, n)
-        pending.append((n, ys, state))
+        qc = quant.quantize(ys[0]) if quant is not None else None
+        pending.append((n, ys, qc, state))
     stats.warm_fft_plans(n_total)  # host idle while the device executes
 
     # Download with a small thread pool, process/write strictly in dispatch
@@ -1074,14 +1176,16 @@ def _run_production(
 
     pool = ThreadPoolExecutor(max_workers=4)
     fetches = [
-        (n, pool.submit(np.asarray, ys[0]), pool.submit(np.asarray, ys[1]),
-         pool.submit(np.asarray, ys[2]), ys, snap)
-        for n, ys, snap in pending
+        (n, pool.submit(np.asarray, ys[0] if qc is None else qc),
+         pool.submit(np.asarray, ys[1]),
+         pool.submit(np.asarray, ys[2]), ys, qc, snap)
+        for n, ys, qc, snap in pending
     ]
     trace_sum = float(acc_offset.mean())  # sum of per-step mean acceptance so far
     hedge = _HedgedFetcher()
-    for n, f_chain, f_logp, f_trace, ys, snap in fetches:
-        chains.append(hedge.result(f_chain, ys[0], "chain chunk"))
+    for n, f_chain, f_logp, f_trace, ys, qc, snap in fetches:
+        raw = hedge.result(f_chain, ys[0] if qc is None else qc, "chain chunk")
+        chains.append(raw if quant is None else quant.dequantize(raw))
         logps.append(hedge.result(f_logp, ys[1], "log-prob chunk"))
         hdf5.append_time_series(
             out_dir, "mcmc.h5", {"chain": chains[-1], "log_prob": logps[-1]}
@@ -1112,7 +1216,7 @@ def _run_production(
     # spectrum + R-hat over the full chain. Device slabs are still alive in
     # ``pending``; a resumed host prefix (chains[0] from h5) uploads once.
     n_resumed = len(chains) - len(pending)
-    dev_pieces = chains[:n_resumed] + [ys[0] for _, ys, _ in pending]
+    dev_pieces = chains[:n_resumed] + [ys[0] for _, ys, _qc, _ in pending]
     return {
         "coords": state.coords,
         "final_log_prob": state.log_prob,

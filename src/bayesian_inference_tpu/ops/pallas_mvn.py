@@ -133,7 +133,9 @@ def _fused_kernel(nb: int, u_ref, d_ref, z_ref, v_ref, out_ref):
     out_ref[0] = jnp.broadcast_to(-0.5 * quad - half_logdet, (8, lanes))
 
 
-def _fused_kernel_packed(nb: int, m: int, wt: int, u_ref, d_ref, z_ref, v_ref, out_ref):
+def _fused_kernel_packed(
+    nb: int, m: int, wt: int, gc: int, u_ref, d_ref, z_ref, v_ref, out_ref
+):
     """Lane-packed fused kernel: m observable blocks share one program.
 
     The walker batch in the sampler is HALF the ensemble (50 at the production
@@ -144,65 +146,107 @@ def _fused_kernel_packed(nb: int, m: int, wt: int, u_ref, d_ref, z_ref, v_ref, o
     carry block j's residual/covariance, selected per column with a lane-id
     mask. Assembly matmul work is unchanged (same dots, fewer programs); the
     elementwise Cholesky work per observable drops by m.
+
+    ``gc`` block-groups are processed per GRID STEP with the body unrolled:
+    the probe decomposition (scripts/probe_step.py BIQ_MVN_PROBE, measured
+    2026-08-19) showed per-grid-step overhead at ~58 of the 105 us/step
+    kernel cost (~300 grid steps/sampler-step), dwarfing the sweep (~7); the
+    multi-block unroll amortizes it gc-fold.
+
+    Assembly strategy: nb small per-column MXU dots (col g = D[:,g] +
+    (U*U[g]) @ v). Two "bigger matmul" variants were built and LOST on
+    device (NOTES.md 2026-08-19): a host-precomputed (nb^2,k+1) UU operand
+    (+VMEM traffic) and an in-VMEM UU concat + one (nb^2,k+1)x(k+1,128) dot
+    (210/170 us/step vs 196/158 per-column at production width) — the
+    per-column dots pipeline with the VPU work; a monolithic dot serializes.
     """
+    import os as _os
+
     z = z_ref[:]            # (k+1, m*wt)
     v = v_ref[:]
     f32 = jnp.float32
     lanes = z.shape[-1]
     seg = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 1) // wt
-
-    b = jax.lax.dot(u_ref[0, 0], z, precision=jax.lax.Precision.HIGHEST)
-    for j in range(1, m):
-        bj = jax.lax.dot(u_ref[0, j], z, precision=jax.lax.Precision.HIGHEST)
-        b = jnp.where(seg == j, bj, b)
-    cols = []
-    for g in range(nb):
-        U0 = u_ref[0, 0]
-        col = d_ref[0, 0][:, g : g + 1] + jax.lax.dot(
-            U0 * U0[g : g + 1, :], v, precision=jax.lax.Precision.HIGHEST
-        )
-        for j in range(1, m):
-            Uj = u_ref[0, j]
-            cj = d_ref[0, j][:, g : g + 1] + jax.lax.dot(
-                Uj * Uj[g : g + 1, :], v, precision=jax.lax.Precision.HIGHEST
-            )
-            col = jnp.where(seg == j, cj, col)
-        cols.append(col)
-
-    quad = jnp.zeros((1, lanes), f32)
-    half_logdet = jnp.zeros((1, lanes), f32)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 0)
-    for j in range(nb):
-        pivot = cols[j][j : j + 1, :]
-        inv_p = jax.lax.rsqrt(pivot)
-        col = cols[j] * inv_p
-        col = jnp.where(row_ids >= j, col, jnp.zeros_like(col))
-        y_j = b[j : j + 1, :] * inv_p
-        b = b - col * y_j
-        quad = quad + y_j * y_j
-        half_logdet = half_logdet + 0.5 * jnp.log(pivot)
-        for g in range(j + 1, nb):
-            cols[g] = cols[g] - col * col[g : g + 1, :]
+    # PROBE-ONLY cost decomposition (scripts/probe_step.py): "noassembly"
+    # replaces the covariance assembly with the constant D (keeps the sweep),
+    # "nosweep" replaces the factorization with a cheap reduction (keeps the
+    # assembly). Output is WRONG under either — never set outside probes.
+    probe = _os.environ.get("BIQ_MVN_PROBE", "")
 
-    out_ref[0] = jnp.broadcast_to(-0.5 * quad - half_logdet, (8, lanes))
+    for q in range(gc):
+        b = jax.lax.dot(u_ref[q, 0], z, precision=jax.lax.Precision.HIGHEST)
+        for j in range(1, m):
+            bj = jax.lax.dot(u_ref[q, j], z, precision=jax.lax.Precision.HIGHEST)
+            b = jnp.where(seg == j, bj, b)
+        if probe == "noassembly":
+            # constant-D covariance with a token data dependence on v
+            dep = v[0:1, :] * 1e-30
+            cols = [
+                jnp.where(
+                    seg == 0, d_ref[q, 0][:, g : g + 1], d_ref[q, m - 1][:, g : g + 1]
+                )
+                + dep
+                for g in range(nb)
+            ]
+        else:
+            cols = []
+            for g in range(nb):
+                U0 = u_ref[q, 0]
+                col = d_ref[q, 0][:, g : g + 1] + jax.lax.dot(
+                    U0 * U0[g : g + 1, :], v, precision=jax.lax.Precision.HIGHEST
+                )
+                for j in range(1, m):
+                    Uj = u_ref[q, j]
+                    cj = d_ref[q, j][:, g : g + 1] + jax.lax.dot(
+                        Uj * Uj[g : g + 1, :], v, precision=jax.lax.Precision.HIGHEST
+                    )
+                    col = jnp.where(seg == j, cj, col)
+                cols.append(col)
+
+        if probe == "nosweep":
+            acc = b[0:1, :]
+            for g in range(nb):
+                acc = acc + cols[g][g : g + 1, :]
+            out_ref[q] = jnp.broadcast_to(-0.5 * acc, (8, lanes))
+            continue
+
+        quad = jnp.zeros((1, lanes), f32)
+        half_logdet = jnp.zeros((1, lanes), f32)
+        for j in range(nb):
+            pivot = cols[j][j : j + 1, :]
+            inv_p = jax.lax.rsqrt(pivot)
+            col = cols[j] * inv_p
+            col = jnp.where(row_ids >= j, col, jnp.zeros_like(col))
+            y_j = b[j : j + 1, :] * inv_p
+            b = b - col * y_j
+            quad = quad + y_j * y_j
+            half_logdet = half_logdet + 0.5 * jnp.log(pivot)
+            for g in range(j + 1, nb):
+                cols[g] = cols[g] - col * col[g : g + 1, :]
+
+        out_ref[q] = jnp.broadcast_to(-0.5 * quad - half_logdet, (8, lanes))
 
 
-@functools.partial(jax.jit, static_argnames=("wt", "interpret"))
-def _fused_packed_mvn_pallas(Up, Dp, zT, vT, wt: int, interpret: bool = False):
-    """(n_grp,m,nb,k+1),(n_grp,m,nb,nb),(k+1,128),(k+1,128) -> (n_grp, 8, 128)."""
+@functools.partial(jax.jit, static_argnames=("wt", "gc", "interpret"))
+def _fused_packed_mvn_pallas(Up, Dp, zT, vT, wt: int, gc: int = 1, interpret: bool = False):
+    """(n_grp,m,nb,k+1),(n_grp,m,nb,nb),(k+1,128),(k+1,128) -> (n_grp, 8, 128).
+
+    ``gc`` consecutive block-groups run per grid step (n_grp must be a
+    multiple of gc; the caller pads observables to m*gc)."""
     n_grp, m, nb, k1 = Up.shape
-    kernel = functools.partial(_fused_kernel_packed, nb, m, wt)
+    kernel = functools.partial(_fused_kernel_packed, nb, m, wt, gc)
     return pl.pallas_call(
         kernel,
-        grid=(n_grp,),
+        grid=(n_grp // gc,),
         out_shape=jax.ShapeDtypeStruct((n_grp, 8, m * wt), Up.dtype),
         in_specs=[
-            pl.BlockSpec((1, m, nb, k1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, nb, nb), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gc, m, nb, k1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gc, m, nb, nb), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k1, m * wt), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k1, m * wt), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, m * wt), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((gc, 8, m * wt), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(Up, Dp, zT, vT)
 
@@ -287,7 +331,12 @@ def fused_block_mvn_loglike(
                 ze_p, ve_p = ze, ve
             zT = jnp.tile(ze_p.T, (1, m))     # (k+1, 128): m walker-segment copies
             vT = jnp.tile(ve_p.T, (1, m))
-            pad_b = (-n_obs) % m
+            # Grid-chunk factor: gc block-groups per grid step (amortizes the
+            # measured ~0.2 us/grid-step overhead); shrink it for small
+            # observable sets so padding never exceeds one grid step's worth.
+            gc = int(_os.environ.get("BIQ_MVN_GRID_CHUNK", "4"))
+            gc = max(1, min(gc, -(-n_obs // m)))
+            pad_b = (-n_obs) % (m * gc)
             Ue_p, D_p = Ue, D
             if pad_b:
                 # padded blocks: identity covariance, zero residual -> ll 0
@@ -301,7 +350,7 @@ def fused_block_mvn_loglike(
             ll = _fused_packed_mvn_pallas(
                 Ue_p.reshape(n_grp, m, nb, k + 1),
                 D_p.reshape(n_grp, m, nb, nb),
-                zT, vT, wt=wt, interpret=interp,
+                zT, vT, wt=wt, gc=gc, interpret=interp,
             )
             per_obs = ll[:, 0, :].reshape(n_grp * m, wt)
             return jnp.sum(per_obs[:, :W], axis=0)

@@ -222,6 +222,7 @@ class MCMCConfig:
     n_logging_steps: int = attrs.field(init=False)
     checkpoint_every: int | None = attrs.field(init=False)
     likelihood_mode: str = attrs.field(init=False)
+    chain_transfer: str = attrs.field(init=False)
     confidence: float = attrs.field(init=False)
     output_dir: str = attrs.field(init=False)
     mcmc_output_dir: str = attrs.field(init=False)
@@ -245,6 +246,15 @@ class MCMCConfig:
         # 'block' = reference-parity per-observable covariance blocks;
         # 'lowrank' = full cross-observable covariance via the Woodbury identity
         self.likelihood_mode = mcmc.get("likelihood_mode", "block")
+        # Opt-in chain-download quantization: 'uint16' transfers the walker
+        # coordinates as uint16 in prior-box units (2x fewer bytes through
+        # the tunneled device->host link; ~range/65535 absolute rounding,
+        # dequantized before mcmc.h5 — docs/PARITY.md records the posterior
+        # deltas). Default '' keeps the lossless transfer.
+        # BIQ_CHAIN_TRANSFER overrides for benches.
+        self.chain_transfer = os.environ.get(
+            "BIQ_CHAIN_TRANSFER", mcmc.get("chain_transfer", "") or ""
+        ).lower()
 
         # Closure credible level for HPDI overlays on posterior pairplots
         # (reference plot_mcmc.py:272 uses config.confidence). Configs may list

@@ -106,3 +106,39 @@ def test_woodbury_single_sample_shape():
     wn = build_woodbury(jnp.asarray(D), jnp.asarray(U), jnp.asarray(d0))
     out = woodbury_loglike(wn, jnp.zeros(k), jnp.ones(k))
     assert out.shape == ()
+
+
+def test_flops_accounting_hand_count():
+    """utils/flops counts audited against a hand computation on tiny shapes
+    (the bench's MFU numbers are only as defensible as these formulas)."""
+    from types import SimpleNamespace
+
+    from bayesian_inference_tpu.utils import flops
+
+    # one group: k=2 PCs, N=3 design points, d=2 dims; one bucket: 1 block, nb=2, k=2
+    like = SimpleNamespace(
+        groups=[SimpleNamespace(posts=SimpleNamespace(X=np.zeros((2, 3, 2))))],
+        U=[np.zeros((1, 2, 2))],
+    )
+    W = 4
+    gp = W * (2 * 3 * (3 * 2 + 8) + 2 * 2 * 3 + 2 * 2 * 3 * 3 + 2 * 2 * 3)
+    k1 = 3
+    blocks = W * 1 * (2 * 2 * k1 + 2 * 4 * k1 + 8 + 4 * 4)
+    assert flops.mcmc_step_flops(like, W) == gp + blocks
+    # scales linearly in walkers
+    assert flops.mcmc_step_flops(like, 2 * W) == 2 * (gp + blocks)
+
+    # fit schedule: R=3 instances x (halving_iters+1) + keep x remaining + posterior
+    per_iter = flops.fit_iteration_flops(N=10, d=2)
+    total = flops.fit_total_flops(
+        N=10, d=2, k_pcs=2, n_restarts=2, n_iters=5, halving_iters=2, halving_keep=1
+    )
+    assert total == 2 * 3 * 3 * per_iter + 2 * 1 * 3 * per_iter + 2 * 3 * 1000
+    # no halving when keep=0
+    total_nh = flops.fit_total_flops(
+        N=10, d=2, k_pcs=2, n_restarts=2, n_iters=5, halving_iters=2, halving_keep=0
+    )
+    assert total_nh == 2 * 3 * 6 * per_iter + 2 * 3 * 1000
+
+    # v5e default peak
+    assert flops.device_peak_tflops(SimpleNamespace(device_kind="TPU v5 lite")) == 197.0
