@@ -101,7 +101,7 @@ N = 5000
 # (tag, log_prob_fn, run_chunk kwargs) — the extra floor variants decompose
 # the scan bookkeeping: no-split removes the per-step random permutation +
 # argsort pair; store-off removes the per-step chain stacking.
-for tag, fn, kw in [
+variants = [
     ("full", lp_full, {}),
     ("kernel-only", lp_kernel_only, {}),
     ("gp-only", lp_gp_only, {}),
@@ -109,7 +109,27 @@ for tag, fn, kw in [
     ("no-likelihood", lp_none, {}),
     ("no-likelihood/no-split", lp_none, {"randomize_split": False}),
     ("no-likelihood/store-off", lp_none, {"store_chain": False}),
-]:
+]
+
+import os as _os
+
+if _os.environ.get("BIQ_PROBE_LOWRANK", ""):
+    # Woodbury full-covariance mode (VERDICT r3 weak #5): its vmapped (k,k)
+    # cholesky+solve inside the scan is the op class XLA:TPU lowers
+    # pathologically — measure it instead of guessing. Opt-in: one extra
+    # 60-500 s remote compile.
+    like_lr = build_likelihood(
+        emu_config, results, exp,
+        theta_min=np.asarray(spec["min"], float),
+        theta_max=np.asarray(spec["max"], float), mode="lowrank",
+    )
+
+    def lp_lowrank(x):
+        return like_lr.log_posterior(x)
+
+    variants.insert(1, ("full-lowrank", lp_lowrank, {}))
+
+for tag, fn, kw in variants:
     st = init_state(key, fn, x0)
     st, ys = run_chunk(st, fn, N, **kw)
     trace = ys[2] if kw.get("store_chain", True) else ys

@@ -575,11 +575,40 @@ def run_closure_batch(
         # device idle here (burn-in downloaded / resume state uploaded):
         # safe window for the quantize program's first-exec compile.
         quant.prewarm([(n, P + n_pad, W, ndim) for n in sorted(set(sizes))])
-    pending = []
-    for n in sizes:
-        states, ys = run_chunk_batched(states, fn, d0_batch, n, shared_aux=like)
-        qc = quant.quantize(ys[0]) if quant is not None else None
-        pending.append((n, ys, qc, states))
+    # HBM guard: the P-way batch multiplies every chunk slab, so dispatching
+    # all chunks up front pins sum(sizes) x (P+pad) x W x (ndim+1) bytes of
+    # chain+logp on device (~4.2 GB at 30 points x 50k x 100 walkers f32 —
+    # and 2x that with 200 walkers). Within budget, dispatch-all is kept (the
+    # live slabs also feed the on-device tau/R-hat pass below); above it, a
+    # bounded window dispatches chunk k+w only after chunk k's slab is
+    # written out and its device handle dropped, so P x walkers can grow past
+    # HBM at the cost of the host-side autocorrelation fallback.
+    itemsize = np.dtype(str(dt)).itemsize
+    slab_bytes = {n: n * (P + n_pad) * W * (ndim + 1) * itemsize for n in set(sizes)}
+    hbm_budget = int(os.environ.get("BIQ_CLOSURE_HBM_BUDGET_MB", "8192")) << 20
+    window = len(sizes)
+    if sum(slab_bytes[n] for n in sizes) > hbm_budget:
+        window = int(max(2, hbm_budget // max(max(slab_bytes.values()), 1)))
+        logger.info(
+            f"closure dispatch window: {window} chunks in flight "
+            f"(full batch {sum(slab_bytes[n] for n in sizes) >> 20} MB > "
+            f"budget {hbm_budget >> 20} MB; BIQ_CLOSURE_HBM_BUDGET_MB tunes)"
+        )
+    keep_slabs = window >= len(sizes)
+
+    pending: list = []  # dispatched, not-yet-written chunks (slabs kept if keep_slabs)
+    i_next = 0
+
+    def _dispatch_upto(limit: int) -> None:
+        nonlocal states, i_next
+        while i_next < min(limit, len(sizes)):
+            n_i = sizes[i_next]
+            states, ys_i = run_chunk_batched(states, fn, d0_batch, n_i, shared_aux=like)
+            qc_i = quant.quantize(ys_i[0]) if quant is not None else None
+            pending.append((n_i, ys_i, qc_i, states))
+            i_next += 1
+
+    _dispatch_upto(window)
     # Fault-injection hook: abort after N chunk downloads (exercises the
     # checkpoint/resume path in tests without killing the process).
     abort_after = int(os.environ.get("BIQ_CLOSURE_ABORT_AFTER_CHUNKS", "0") or 0)
@@ -604,14 +633,22 @@ def run_closure_batch(
 
     _prefetch(0)
     hedge = _HedgedFetcher()
-    for i_chunk, (n, ys, qc, snap) in enumerate(pending):
+    for i_chunk in range(len(sizes)):
+        _dispatch_upto(i_chunk + window)  # keep the in-flight window full
+        _prefetch(i_chunk)
         _prefetch(i_chunk + 1)
+        n, ys, qc, snap = pending[i_chunk]
         f_chain, f_logp = inflight.pop(i_chunk)
         raw = hedge.result(
             f_chain, ys[0] if qc is None else qc, "closure chain slab"
         )  # (n, P+pad, W, d)
         chain_slab = raw if quant is None else quant.dequantize(raw)
         logp_slab = hedge.result(f_logp, ys[1], "closure log-prob slab")
+        if not keep_slabs:
+            # drop the device handles: the backend frees the chunk's HBM and
+            # the window admits the next dispatch
+            pending[i_chunk] = (n, None, None, None)
+            del ys, qc, raw
         for p, i in enumerate(closure_indices):
             hdf5.append_time_series(
                 cfgs[i].mcmc_output_dir, "mcmc.h5",
@@ -646,7 +683,7 @@ def run_closure_batch(
     # spectra download — the host FFT passes disappear entirely. Fresh runs
     # only: a resumed prefix lives in the per-point h5 files (host fallback).
     device_stats = None  # (power (P,K,d), nfft, rhat (P,d)) when on-accelerator
-    if sum(sizes) == n_total:  # fresh run: every step's slab is on device
+    if sum(sizes) == n_total and keep_slabs:  # fresh run: every slab on device
         probe = next((ys[0] for _, ys, _qc, _ in pending if hasattr(ys[0], "devices")), None)
         if (
             probe is not None

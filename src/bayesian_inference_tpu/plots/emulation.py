@@ -37,6 +37,7 @@ def plot(config) -> None:
         _plot_reconstruction_error(art, name, plot_dir)
         _plot_per_feature_reconstruction(art, name, plot_dir)
         _plot_pca_sweep(art, name, plot_dir)
+        _plot_pca_reconstruction_observables(config, art, name, plot_dir)
 
     _plot_residuals(config, results, plot_dir, validation_set=False)
     _plot_residuals(config, results, plot_dir, validation_set=True)
@@ -204,3 +205,58 @@ def _plot_pca_sweep(art: dict, name: str, plot_dir: str, n_pcs=(1, 2, 5, 10, 20)
     fig.tight_layout()
     fig.savefig(os.path.join(plot_dir, f"pca_sweep__{name}.pdf"))
     plt.close(fig)
+
+def _plot_pca_reconstruction_observables(config, art: dict, name: str, plot_dir: str) -> None:
+    """Per-observable panels of the observables BEFORE vs AFTER PCA truncation
+    (reference plot_emulation.py:230-250 _plot_pca_reconstruction_observables
+    and :252-291 .._per_n_pc): one subplot per observable via the shared
+    ``observable_panels`` machinery. Where the reference draws one design
+    point's curve per n_pc, the ensemble here is summarized as the median +
+    5-95% band over ALL design points (observable_panels semantics) — same
+    information, tighter panels. Two artifacts per group: the fitted-n_pc
+    before/after overlay, and a truncation sweep."""
+    from bayesian_inference_tpu.io import hdf5
+    from bayesian_inference_tpu.plots.utils import observable_panels
+
+    group_cfg = config.emulation_groups_config[name]
+    observables = hdf5.read_dict_from_h5(
+        config.output_dir, config.observables_filename, verbose=False
+    )
+    sorted_labels = obs_io.sorted_observable_list_from_dict(
+        observables, observable_filter=group_cfg.observable_filter
+    )
+    Y = np.asarray(art["PCA"]["Y"])
+    Y_pca = np.asarray(art["PCA"]["Y_pca"])
+    comps = np.asarray(art["PCA"]["components"])
+    mean, scale = np.asarray(art["PCA"]["mean"]), np.asarray(art["PCA"]["scale"])
+    n_pc = int(art["n_pc"])
+    n_max = min(Y_pca.shape[1], comps.shape[0])
+
+    def recon(n: int) -> np.ndarray:
+        return (Y_pca[:, :n] @ comps[:n]) * scale + mean
+
+    observable_panels(
+        plot_list=[{"central_value": Y}, {"central_value": recon(min(n_pc, n_max))}],
+        labels=["model (before PCA)", f"after PCA (n_pc = {n_pc})"],
+        colors=["gray", "steelblue"],
+        config=config,
+        plot_dir=plot_dir,
+        filename=f"pca_observables__{name}.pdf",
+        observables=observables,
+        sorted_labels=sorted_labels,
+        plot_exp_data=False,
+    )
+
+    ns = sorted({n for n in (1, 2, 5, 10, n_pc) if n <= n_max})
+    cmap = plt.get_cmap("magma")
+    observable_panels(
+        plot_list=[{"central_value": Y}] + [{"central_value": recon(n)} for n in ns],
+        labels=["model (before PCA)"] + [f"PCA {n}" for n in ns],
+        colors=["gray"] + [cmap(f) for f in np.linspace(0.25, 0.8, len(ns))],
+        config=config,
+        plot_dir=plot_dir,
+        filename=f"pca_observables_sweep__{name}.pdf",
+        observables=observables,
+        sorted_labels=sorted_labels,
+        plot_exp_data=False,
+    )

@@ -43,6 +43,8 @@ def test_steer_end_to_end(tmp_path):
     assert (run_dir / "plot_mcmc" / "pairplot_posterior.pdf").exists()
     assert (run_dir / "plot_qhat" / "qhat_vs_T.pdf").exists()
     assert (run_dir / "plot_emulation" / "pca_explained_variance__default_group.pdf").exists()
+    assert (run_dir / "plot_emulation" / "pca_observables__default_group.pdf").exists()
+    assert (run_dir / "plot_emulation" / "pca_observables_sweep__default_group.pdf").exists()
     assert (run_dir / "plot_input_data" / "predictions__standard.pdf").exists()
     assert (Path(cfg["output_dir"]) / "qhat_across_analyses.pdf").exists()
 
