@@ -34,6 +34,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _dot_precision():
+    """MXU precision for the kernel's assembly dots (BIQ_MVN_DOT_PRECISION).
+
+    "highest" = 6-pass bf16 (true f32); "high" = 3-pass, matching the
+    framework's global jax_default_matmul_precision=high that the composed
+    XLA assembly path runs under (package __init__) — the Cholesky sweep
+    itself is exact f32 VPU math either way. Env-read at trace time for
+    on-device A/B."""
+    import os as _os
+
+    name = _os.environ.get("BIQ_MVN_DOT_PRECISION", "highest").upper()
+    return getattr(jax.lax.Precision, name)
+
+
 def _mvn_kernel(nb: int, a_ref, b_ref, out_ref):
     A = a_ref[:]          # (nb, nb, batch)
     b = b_ref[:]          # (nb, batch)
@@ -101,12 +115,12 @@ def _fused_kernel(nb: int, u_ref, d_ref, z_ref, v_ref, out_ref):
     f32 = jnp.float32
 
     # Residual: dY = d0 + U z, (nb, lanes) on the MXU.
-    b = jax.lax.dot(U, z, precision=jax.lax.Precision.HIGHEST)
+    b = jax.lax.dot(U, z, precision=_dot_precision())
 
     # Covariance columns: cols[g][f, w] = D[f, g] + sum_k U[f,k] U[g,k] v[k,w].
     cols = [
         D[:, g : g + 1]
-        + jax.lax.dot(U * U[g : g + 1, :], v, precision=jax.lax.Precision.HIGHEST)
+        + jax.lax.dot(U * U[g : g + 1, :], v, precision=_dot_precision())
         for g in range(nb)
     ]
 
@@ -153,12 +167,17 @@ def _fused_kernel_packed(
     kernel cost (~300 grid steps/sampler-step), dwarfing the sweep (~7); the
     multi-block unroll amortizes it gc-fold.
 
-    Assembly strategy: nb small per-column MXU dots (col g = D[:,g] +
-    (U*U[g]) @ v). Two "bigger matmul" variants were built and LOST on
-    device (NOTES.md 2026-08-19): a host-precomputed (nb^2,k+1) UU operand
-    (+VMEM traffic) and an in-VMEM UU concat + one (nb^2,k+1)x(k+1,128) dot
-    (210/170 us/step vs 196/158 per-column at production width) — the
-    per-column dots pipeline with the VPU work; a monolithic dot serializes.
+    Assembly strategy (BIQ_MVN_ASSEMBLY): the gc=4 probe decomposition
+    (2026-08-19: kernel-only 141 us, noassembly 88, nosweep 139) put the
+    covariance assembly at ~53 us/step — per-column dots have M=nb (~12)
+    rows on the 128-row MXU, <10% utilization. "stacked" (default) stacks
+    ALL gc*m blocks of one grid step into ONE (gc*m*nb, k+1) x (k+1, 128)
+    dot per column g, lifting M to ~96-128 rows; the D add + lane-segment
+    selects are unchanged. "percol" reverts to per-(q,j) dots for A/B. Two
+    earlier "bigger matmul" shapes LOST (NOTES.md 2026-08-19): a
+    host-precomputed (nb^2,k+1) UU operand (HBM traffic) and an in-VMEM UU
+    concat into a (nb^2,k+1)x(k+1,128) dot (M=nb^2 but one block per dot);
+    stacking across blocks keeps the operands in VMEM AND fills MXU rows.
     """
     import os as _os
 
@@ -174,10 +193,62 @@ def _fused_kernel_packed(
     # assembly). Output is WRONG under either — never set outside probes.
     probe = _os.environ.get("BIQ_MVN_PROBE", "")
 
+    stacked = (
+        not probe
+        and gc * m > 1
+        and _os.environ.get("BIQ_MVN_ASSEMBLY", "stacked") == "stacked"
+    )
+    if stacked:
+        Us = [u_ref[q, j] for q in range(gc) for j in range(m)]
+        # residual: one (gc*m*nb, k+1) x (k+1, 128) dot for every block
+        B_all = jax.lax.dot(
+            jnp.concatenate(Us, axis=0), z, precision=_dot_precision()
+        )
+        # covariance column g of every block in one dot (rows U_i * U_i[g])
+        col_all = [
+            jax.lax.dot(
+                jnp.concatenate([Uu * Uu[g : g + 1, :] for Uu in Us], axis=0),
+                v, precision=_dot_precision(),
+            )
+            for g in range(nb)
+        ]
+
+    def _blk(arr, q, j):
+        i = q * m + j
+        return arr[i * nb : (i + 1) * nb, :]
+
     for q in range(gc):
-        b = jax.lax.dot(u_ref[q, 0], z, precision=jax.lax.Precision.HIGHEST)
+        if stacked:
+            b = _blk(B_all, q, 0)
+            for j in range(1, m):
+                b = jnp.where(seg == j, _blk(B_all, q, j), b)
+            cols = []
+            for g in range(nb):
+                col = d_ref[q, 0][:, g : g + 1] + _blk(col_all[g], q, 0)
+                for j in range(1, m):
+                    col = jnp.where(
+                        seg == j, d_ref[q, j][:, g : g + 1] + _blk(col_all[g], q, j), col
+                    )
+                cols.append(col)
+            quad = jnp.zeros((1, lanes), f32)
+            half_logdet = jnp.zeros((1, lanes), f32)
+            for j in range(nb):
+                pivot = cols[j][j : j + 1, :]
+                inv_p = jax.lax.rsqrt(pivot)
+                col = cols[j] * inv_p
+                col = jnp.where(row_ids >= j, col, jnp.zeros_like(col))
+                y_j = b[j : j + 1, :] * inv_p
+                b = b - col * y_j
+                quad = quad + y_j * y_j
+                half_logdet = half_logdet + 0.5 * jnp.log(pivot)
+                for g in range(j + 1, nb):
+                    cols[g] = cols[g] - col * col[g : g + 1, :]
+            out_ref[q] = jnp.broadcast_to(-0.5 * quad - half_logdet, (8, lanes))
+            continue
+
+        b = jax.lax.dot(u_ref[q, 0], z, precision=_dot_precision())
         for j in range(1, m):
-            bj = jax.lax.dot(u_ref[q, j], z, precision=jax.lax.Precision.HIGHEST)
+            bj = jax.lax.dot(u_ref[q, j], z, precision=_dot_precision())
             b = jnp.where(seg == j, bj, b)
         if probe == "noassembly":
             # constant-D covariance with a token data dependence on v
@@ -194,12 +265,12 @@ def _fused_kernel_packed(
             for g in range(nb):
                 U0 = u_ref[q, 0]
                 col = d_ref[q, 0][:, g : g + 1] + jax.lax.dot(
-                    U0 * U0[g : g + 1, :], v, precision=jax.lax.Precision.HIGHEST
+                    U0 * U0[g : g + 1, :], v, precision=_dot_precision()
                 )
                 for j in range(1, m):
                     Uj = u_ref[q, j]
                     cj = d_ref[q, j][:, g : g + 1] + jax.lax.dot(
-                        Uj * Uj[g : g + 1, :], v, precision=jax.lax.Precision.HIGHEST
+                        Uj * Uj[g : g + 1, :], v, precision=_dot_precision()
                     )
                     col = jnp.where(seg == j, cj, col)
                 cols.append(col)
