@@ -113,6 +113,13 @@ variants = [
 
 import os as _os
 
+# BIQ_PROBE_ONLY=full,kernel-only runs a subset: each novel variant costs a
+# fresh 60-500 s remote compile, so A/Bs (dot precision, packing) should only
+# pay for the variants they compare.
+_only = [t for t in _os.environ.get("BIQ_PROBE_ONLY", "").split(",") if t]
+if _only:
+    variants = [v for v in variants if v[0] in _only]
+
 if _os.environ.get("BIQ_PROBE_LOWRANK", ""):
     # Woodbury full-covariance mode (VERDICT r3 weak #5): its vmapped (k,k)
     # cholesky+solve inside the scan is the op class XLA:TPU lowers
@@ -127,7 +134,8 @@ if _os.environ.get("BIQ_PROBE_LOWRANK", ""):
     def lp_lowrank(x):
         return like_lr.log_posterior(x)
 
-    variants.insert(1, ("full-lowrank", lp_lowrank, {}))
+    if not _only or "full-lowrank" in _only:
+        variants.insert(1, ("full-lowrank", lp_lowrank, {}))
 
 for tag, fn, kw in variants:
     st = init_state(key, fn, x0)

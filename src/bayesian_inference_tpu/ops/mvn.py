@@ -96,21 +96,53 @@ def build_woodbury(D: jax.Array, U: jax.Array, d0: jax.Array) -> WoodburyNormal:
 
 
 def woodbury_loglike(wn: WoodburyNormal, z: jax.Array, v: jax.Array) -> jax.Array:
-    """Batched loglike; z, v of shape (..., k): PC-space means and variances."""
+    """Batched loglike; z, v of shape (..., k): PC-space means and variances.
+
+    The capacitance solve + logdet — the only O(k^3) term — is expressed as a
+    tiny-MVN loglike of (r, M) and routed through ops.pallas_mvn.
+    block_mvn_loglike: on TPU that is the fused lane-batched Pallas kernel, on
+    CPU the unrolled f64 factorization. The previous formulation ran a vmapped
+    jnp.linalg.cholesky + solve_triangular at (k, k) inside the sampler scan,
+    exactly the op class XLA:TPU lowers pathologically (ops/cholesky.py:3-8);
+    see NOTES.md round-4 log for the measured before/after A/B at production
+    width."""
+    import os as _os
+
+    from bayesian_inference_tpu.ops.pallas_mvn import block_mvn_loglike
+
     k = wn.G.shape[0]
     M = wn.G + jnp.einsum("...k,kj->...kj", 1.0 / v, jnp.eye(k, dtype=v.dtype))
     r = wn.b + jnp.einsum("ij,...j->...i", wn.G, z)
-    L_M = jnp.linalg.cholesky(M)
-    t = jax.scipy.linalg.solve_triangular(L_M, r[..., None], lower=True)[..., 0]
-    quad = (
+    if _os.environ.get("BIQ_WOODBURY", "") == "xla":
+        # Pre-2026-08-19 formulation, kept for on-device A/B (trace-time knob).
+        L_M = jnp.linalg.cholesky(M)
+        t = jax.scipy.linalg.solve_triangular(L_M, r[..., None], lower=True)[..., 0]
+        quad = (
+            wn.c0
+            + 2.0 * jnp.einsum("k,...k->...", wn.b, z)
+            + jnp.einsum("...i,ij,...j->...", z, wn.G, z)
+            - jnp.sum(t * t, axis=-1)
+        )
+        logdet = (
+            2.0 * wn.half_logdet_D
+            + jnp.sum(jnp.log(v), axis=-1)
+            + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_M, axis1=-2, axis2=-1)), axis=-1)
+        )
+        return -0.5 * (quad + logdet)
+    # The Woodbury identity needs +1/2 r^T M^-1 r - 1/2 logdet M (the solve
+    # term REDUCES the quadratic), while an MVN loglike of (r, M) is
+    # -1/2 r^T M^-1 r - 1/2 logdet M. Two kernel calls recover it exactly:
+    #   2 * loglike(0, M) - loglike(r, M) = +1/2 r^T M^-1 r - 1/2 logdet M.
+    # Each call is one fused factorization sweep; at sampler shapes (k ~ 41,
+    # walkers on the lane axis) both together are far below the block-mode
+    # kernel's per-step cost.
+    tiny_r = block_mvn_loglike(r, M)
+    tiny_0 = block_mvn_loglike(jnp.zeros_like(r), M)
+    rest = (
         wn.c0
         + 2.0 * jnp.einsum("k,...k->...", wn.b, z)
         + jnp.einsum("...i,ij,...j->...", z, wn.G, z)
-        - jnp.sum(t * t, axis=-1)
-    )
-    logdet = (
-        2.0 * wn.half_logdet_D
+        + 2.0 * wn.half_logdet_D
         + jnp.sum(jnp.log(v), axis=-1)
-        + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_M, axis1=-2, axis2=-1)), axis=-1)
     )
-    return -0.5 * (quad + logdet)
+    return (2.0 * tiny_0 - tiny_r) - 0.5 * rest

@@ -35,17 +35,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dot_precision():
-    """MXU precision for the kernel's assembly dots (BIQ_MVN_DOT_PRECISION).
+    """MXU precision for the kernel's assembly dots: HIGHEST (6-pass bf16,
+    true-f32).
 
-    "highest" = 6-pass bf16 (true f32); "high" = 3-pass, matching the
-    framework's global jax_default_matmul_precision=high that the composed
-    XLA assembly path runs under (package __init__) — the Cholesky sweep
-    itself is exact f32 VPU math either way. Env-read at trace time for
-    on-device A/B."""
-    import os as _os
-
-    name = _os.environ.get("BIQ_MVN_DOT_PRECISION", "highest").upper()
-    return getattr(jax.lax.Precision, name)
+    A cheaper 3-pass HIGH (the framework's global matmul default) was
+    attempted as an A/B on 2026-08-19 and is a DEAD END: Mosaic's dot
+    lowering supports only DEFAULT and HIGHEST (`NotImplementedError:
+    Unsupported dot precision: HIGH`), and single-pass DEFAULT bf16 breaks
+    covariance positive-definiteness in this workload (CLAUDE.md). The
+    Cholesky sweep itself is exact f32 VPU math regardless."""
+    return jax.lax.Precision.HIGHEST
 
 
 def _mvn_kernel(nb: int, a_ref, b_ref, out_ref):
