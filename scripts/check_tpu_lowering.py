@@ -106,6 +106,36 @@ def check_sampler_program() -> None:
     print(f"sampler scan (packed MVN, shared-sqdiff GP eval): TPU lowering OK ({n_calls} pallas calls)")
 
 
+def check_sampler_program_lowrank() -> None:
+    """Lowrank mode routes the Woodbury capacitance solve through the Pallas
+    block-MVN kernel (ops/mvn.py::woodbury_loglike); its sampler program is
+    AOT-compiled like block mode's, so its TPU lowering needs the same guard."""
+    from bayesian_inference_tpu.mcmc.stretch import init_state, run_chunk
+    from bayesian_inference_tpu.ops.mvn import build_woodbury
+
+    like = _make_likelihood()
+    F = sum(int(np.prod(u.shape[:2])) for u in like.U)
+    wb = build_woodbury(
+        jnp.asarray(np.eye(F, dtype=f32)),
+        jnp.asarray(rng.normal(size=(F, 5)).astype(f32) * 0.1),
+        jnp.asarray(rng.normal(size=(F,)).astype(f32)),
+    )
+    like = like.replace(wb=wb, mode="lowrank")
+    W, d = 100, 6
+    x0 = jnp.asarray(rng.uniform(0.2, 0.8, size=(W, d)).astype(f32))
+
+    def fn(aux, x):
+        return aux.log_posterior(x)
+
+    state = init_state.__wrapped__(jax.random.key(0), fn, x0, aux=like)
+    txt = lower_tpu(
+        jax.jit(lambda st, aux: run_chunk(st, fn, 10, aux=aux)[1][2]).trace(state, like)
+    )
+    n_calls = txt.count("tpu_custom_call")
+    assert n_calls >= 1, "expected the Woodbury capacitance Pallas kernel"
+    print(f"lowrank sampler scan (Woodbury via packed MVN): TPU lowering OK ({n_calls} pallas calls)")
+
+
 def check_closure_batch_program() -> None:
     """The closure batch vmaps the sampler over P validation points, so the
     packed MVN kernel lowers through the pallas BATCHING rule (an extra grid
@@ -139,5 +169,6 @@ def check_closure_batch_program() -> None:
 if __name__ == "__main__":
     check_fit_program()
     check_sampler_program()
+    check_sampler_program_lowrank()
     check_closure_batch_program()
     print("ALL TPU LOWERINGS OK")

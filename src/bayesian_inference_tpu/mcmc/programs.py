@@ -285,8 +285,10 @@ def prewarm_sampler_programs(
     """Compile the MCMC executables ahead of ``run_mcmc``.
 
     Requires the observables file (for shapes) but NOT the fit. Pass the
-    result to ``run_mcmc`` as ``programs=``. Returns None when the config's
-    likelihood mode has no operand-style path.
+    result to ``run_mcmc`` as ``programs=``. Both likelihood modes have an
+    operand-style path — the lowrank (Woodbury) state is a pytree like the
+    bucketed block tensors, so its executables are equally value-independent.
+    Returns None for an unknown mode.
 
     ``threaded=True`` compiles on a daemon thread — see the module HAZARD
     note before overlapping this with device execution.
@@ -296,7 +298,7 @@ def prewarm_sampler_programs(
 
     if mode is None:
         mode = getattr(config, "likelihood_mode", "block")
-    if mode != "block":
+    if mode not in ("block", "lowrank"):
         return None
 
     emulation_config = EmulationConfig.from_config_file(

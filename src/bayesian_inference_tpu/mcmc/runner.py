@@ -126,8 +126,8 @@ def run_mcmc(
     if mesh is not None:
         from bayesian_inference_tpu.parallel.mesh import make_sharded_log_prob
 
-        # jit-closure fallback path (non-block modes); the block-mode AOT
-        # programs below are lowered with the same walker sharding.
+        # jit-closure fallback path (AOT compile failure); the AOT programs
+        # below are lowered with the same walker sharding.
         log_prob_fn = make_sharded_log_prob(like.log_posterior, mesh)
         logger.info(f"walker batch sharded over {mesh.devices.size} devices")
     else:
@@ -149,7 +149,7 @@ def run_mcmc(
     ):
         logger.warning("prewarmed sampler programs have mismatched shapes/mesh; recompiling")
         programs = None
-    if programs is None and mode == "block":
+    if programs is None and mode in ("block", "lowrank"):
         programs = SamplerPrograms(
             like, config.n_walkers, ndim,
             chunk_sizes_for_config(config, checkpoint_every),

@@ -86,6 +86,14 @@ def mcmc_step_flops(like: Any, n_walkers: int) -> float:
         total += W * 2 * k * N                    # mean ks@alpha
         total += W * 2 * k * N * N                # var ks@Kinv
         total += W * 2 * k * N                    # var row-dot
+    if getattr(like, "mode", "block") == "lowrank":
+        # Woodbury route (ops/mvn.woodbury_loglike): one k x k capacitance
+        # system per walker — M assembly ~k^2, r = G@z 2k^2, TWO tiny-MVN
+        # kernel calls (Cholesky sweep k^3 + 4k^2 solve each), plus the
+        # z-quadratics (~2k^2).
+        k = _shape(like.wb.G)[0]
+        total += W * (5 * k * k + 2 * (k**3 + 4 * k * k))
+        return total
     for U in like.U:
         n_obs, nb, k = _shape(U)
         k1 = k + 1

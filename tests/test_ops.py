@@ -128,6 +128,16 @@ def test_flops_accounting_hand_count():
     # scales linearly in walkers
     assert flops.mcmc_step_flops(like, 2 * W) == 2 * (gp + blocks)
 
+    # lowrank mode: the Woodbury k x k capacitance route replaces the blocks
+    like_lr = SimpleNamespace(
+        groups=like.groups,
+        U=like.U,
+        mode="lowrank",
+        wb=SimpleNamespace(G=np.zeros((2, 2))),
+    )
+    woodbury = W * (5 * 4 + 2 * (8 + 4 * 4))
+    assert flops.mcmc_step_flops(like_lr, W) == gp + woodbury
+
     # fit schedule: R=3 instances x (halving_iters+1) + keep x remaining + posterior
     per_iter = flops.fit_iteration_flops(N=10, d=2)
     total = flops.fit_total_flops(

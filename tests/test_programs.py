@@ -19,21 +19,22 @@ from bayesian_inference_tpu.mcmc.stretch import run_ensemble
 from tests.test_mcmc import likelihood_setup  # noqa: F401  (fixture reuse)
 
 
-def _built_likelihood(likelihood_setup):  # noqa: F811
+def _built_likelihood(likelihood_setup, mode="block"):  # noqa: F811
     emu_config, results, exp, pspec, *_ = likelihood_setup
     like = build_likelihood(
-        emu_config, results, exp, theta_min=pspec["min"], theta_max=pspec["max"], mode="block"
+        emu_config, results, exp, theta_min=pspec["min"], theta_max=pspec["max"], mode=mode
     )
     return emu_config, like, pspec
 
 
-def test_shape_spec_matches_fitted_likelihood(likelihood_setup):  # noqa: F811
+@pytest.mark.parametrize("mode", ["block", "lowrank"])
+def test_shape_spec_matches_fitted_likelihood(likelihood_setup, mode):  # noqa: F811
     """The pre-fit spec must reproduce the fitted likelihood's treedef AND
     every leaf's shape/dtype — that is what guarantees a prewarmed executable
-    accepts the real likelihood."""
-    emu_config, like, pspec = _built_likelihood(likelihood_setup)
+    accepts the real likelihood (both likelihood modes)."""
+    emu_config, like, pspec = _built_likelihood(likelihood_setup, mode)
     spec = likelihood_shape_spec(
-        emu_config, theta_min=pspec["min"], theta_max=pspec["max"], mode="block"
+        emu_config, theta_min=pspec["min"], theta_max=pspec["max"], mode=mode
     )
     real_leaves, real_def = jax.tree.flatten(like)
     spec_leaves, spec_def = jax.tree.flatten(spec)
@@ -42,10 +43,11 @@ def test_shape_spec_matches_fitted_likelihood(likelihood_setup):  # noqa: F811
         assert r.shape == s.shape and r.dtype == s.dtype
 
 
-def test_aot_operand_path_matches_closure_path(likelihood_setup):  # noqa: F811
+@pytest.mark.parametrize("mode", ["block", "lowrank"])
+def test_aot_operand_path_matches_closure_path(likelihood_setup, mode):  # noqa: F811
     """Same keys, same x0: the AOT operand-style executables must produce the
-    exact chain the jit closure path produces."""
-    _, like, pspec = _built_likelihood(likelihood_setup)
+    exact chain the jit closure path produces (both likelihood modes)."""
+    _, like, pspec = _built_likelihood(likelihood_setup, mode)
     ndim = len(pspec["min"])
     W = 8
     dt = like.theta_min.dtype
@@ -96,7 +98,33 @@ def test_prewarmed_run_mcmc_matches_unwarmed(likelihood_setup):  # noqa: F811
     )
 
 
-def test_prewarm_returns_none_for_lowrank(likelihood_setup):  # noqa: F811
+def test_prewarmed_lowrank_run_matches_unwarmed(likelihood_setup):  # noqa: F811
+    """Lowrank mode has the same operand-style AOT path as block mode: a
+    prewarmed run must reproduce the inline-compiled run exactly."""
+    from bayesian_inference_tpu.mcmc.runner import run_mcmc
+    from bayesian_inference_tpu.pipeline.configs import MCMCConfig
+
+    *_, config_path, analysis_name, analysis_config = likelihood_setup
+    analysis_config = dict(analysis_config)
+    analysis_config["parameters"] = {
+        **analysis_config["parameters"],
+        "mcmc": {**analysis_config["parameters"]["mcmc"], "likelihood_mode": "lowrank"},
+    }
+    cfg = MCMCConfig(
+        analysis_name=analysis_name, parameterization="exponential",
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+    assert cfg.likelihood_mode == "lowrank"
+    programs = prewarm_sampler_programs(cfg)
+    assert programs is not None and programs.ok()
+
+    out_warm = run_mcmc(cfg, seed=5, programs=programs)
+    out_cold = run_mcmc(cfg, seed=5)
+    np.testing.assert_array_equal(out_warm["chain"], out_cold["chain"])
+    np.testing.assert_array_equal(out_warm["log_prob"], out_cold["log_prob"])
+
+
+def test_prewarm_returns_none_for_unknown_mode(likelihood_setup):  # noqa: F811
     from bayesian_inference_tpu.pipeline.configs import MCMCConfig
 
     *_, config_path, analysis_name, analysis_config = likelihood_setup
@@ -104,4 +132,4 @@ def test_prewarm_returns_none_for_lowrank(likelihood_setup):  # noqa: F811
         analysis_name=analysis_name, parameterization="exponential",
         analysis_config=analysis_config, config_file=str(config_path),
     )
-    assert prewarm_sampler_programs(cfg, mode="lowrank") is None
+    assert prewarm_sampler_programs(cfg, mode="dense") is None
