@@ -78,8 +78,15 @@ class WoodburyNormal:
         return self.replace(b=self.W.T @ e0, c0=e0 @ e0, d0=d0)
 
 
+@jax.jit
 def build_woodbury(D: jax.Array, U: jax.Array, d0: jax.Array) -> WoodburyNormal:
-    """One-time O(F^3) setup; everything per-walker afterwards is O(k^3)."""
+    """One-time O(F^3) setup; everything per-walker afterwards is O(k^3).
+
+    jitted as ONE program: eagerly this is ~7 device dispatches, and on the
+    tunneled remote-compile backend every eager op costs a round-trip (plus a
+    tiny compile the first time) — see CLAUDE.md environment hazards. The
+    operands are runtime inputs, so the persistent-cache key is
+    value-independent like the sampler programs'."""
     L_D = jnp.linalg.cholesky(D)
     e0 = jax.scipy.linalg.solve_triangular(L_D, d0, lower=True)
     W = jax.scipy.linalg.solve_triangular(L_D, U, lower=True)
