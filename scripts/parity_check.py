@@ -34,6 +34,8 @@ def main() -> None:
     parser.add_argument("--walkers", type=int, default=64)
     parser.add_argument("--seed", type=int, default=0,
                         help="seed for init positions + both samplers' RNG streams")
+    parser.add_argument("--mode", default="block", choices=["block", "lowrank"],
+                        help="likelihood mode (lowrank = exact full covariance)")
     args = parser.parse_args()
 
     import jax
@@ -68,7 +70,8 @@ def main() -> None:
                                 observable_filter=emu_config.observable_filter)
     pspec = analysis_config["parameterization"][param]
     like = build_likelihood(emu_config, results, exp,
-                            theta_min=pspec["min"], theta_max=pspec["max"])
+                            theta_min=pspec["min"], theta_max=pspec["max"],
+                            mode=args.mode)
 
     rng = np.random.default_rng(args.seed)
     x0 = rng.uniform(pspec["min"], pspec["max"], (args.walkers, len(pspec["min"])))
@@ -113,6 +116,7 @@ def main() -> None:
 
     report = {
         "backend": jax.default_backend(),
+        "mode": args.mode,
         "seed": args.seed,
         "steps": args.steps,
         "acceptance_ours": round(acc, 4),
