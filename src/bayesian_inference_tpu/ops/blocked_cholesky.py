@@ -33,6 +33,7 @@ __init__ note on jax_default_matmul_precision).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HI = jax.lax.Precision.HIGHEST
 
-NB = 64  # diagonal block size; N pads to a multiple (identity on the pad)
+# Diagonal block size; N pads to a multiple (identity on the pad). Trace-time
+# A/B knob: BIQ_CHOL_NB (multiple of 8 — Mosaic sublane tiling). Measured at
+# the production fit shape (B=2091, N=200, 2026-08-19): 56/64/72/104 are all
+# within noise (281-293 ms value+grad) despite padded areas from 1.08x to
+# 1.64x — the factorization cost is NOT padding-bound at this shape (the
+# MXU-block work saved is re-spent in the VPU diagonal kernel). See NOTES.md.
+NB = int(os.environ.get("BIQ_CHOL_NB", "64"))
 
 
 def _diag_chol_inv_kernel(nb: int, a_ref, l_ref, inv_ref):
@@ -106,12 +113,15 @@ def _diag_chol_inv_pallas(At: jax.Array, interpret: bool = False):
             pl.BlockSpec((nb, nb, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, nb, lanes), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
         ),
-        # The kernel's live set (working copy of A, the 64 factor columns, the
+        # The kernel's live set (working copy of A, the nb factor columns, the
         # substitution residual, plus double-buffered in/out windows) needs
         # ~21 MB of scoped VMEM at nb=64/128 lanes — over the 16 MB default
         # limit but a small fraction of the chip's 128 MB VMEM (measured:
-        # v5e AOT compile OOM at 20.40M/16.00M, 2026-08-18).
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        # v5e AOT compile OOM at 20.40M/16.00M, 2026-08-18). Scales ~nb^2 for
+        # the BIQ_CHOL_NB A/B knob.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(48 * 1024 * 1024 * max(1.0, (nb / 64) ** 2))
+        ),
         interpret=interpret,
     )(At)
 
