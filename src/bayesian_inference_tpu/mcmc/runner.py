@@ -1192,15 +1192,18 @@ def _run_production(
     sizes = [dispatch_chunk] * (remaining // dispatch_chunk)
     if remaining % dispatch_chunk:
         sizes.append(remaining % dispatch_chunk)
+    t_prod0 = _time.perf_counter()
     quant = _ChainQuantizer.from_config(config, like)
     if quant is not None:
         # device idle here (burn-in downloaded): safe to first-exec/compile
         W, ndim = x0.shape
         quant.prewarm([(n, W, ndim) for n in sorted(set(sizes))])
+    t_prewarm = _time.perf_counter()
     for n in sizes:
         state, ys = _chunk(state, n)
         qc = quant.quantize(ys[0]) if quant is not None else None
         pending.append((n, ys, qc, state))
+    t_dispatch = _time.perf_counter()
     stats.warm_fft_plans(n_total)  # host idle while the device executes
 
     # Download with a small thread pool, process/write strictly in dispatch
@@ -1220,6 +1223,7 @@ def _run_production(
     ]
     trace_sum = float(acc_offset.mean())  # sum of per-step mean acceptance so far
     hedge = _HedgedFetcher()
+    chunk_done: list[float] = []
     for n, f_chain, f_logp, f_trace, ys, qc, snap in fetches:
         raw = hedge.result(f_chain, ys[0] if qc is None else qc, "chain chunk")
         chains.append(raw if quant is None else quant.dequantize(raw))
@@ -1241,8 +1245,16 @@ def _run_production(
                 "key_data": np.asarray(jax.random.key_data(snap.key)),
             }, ckpt_file)
             ckpt_file.flush()
+        chunk_done.append(_time.perf_counter())
     pool.shutdown()
     hedge.shutdown()
+    logger.debug(
+        "production breakdown: prewarm %.2fs, dispatch %.2fs, chunk "
+        "download+write+ckpt completions at %s (s from production start)",
+        t_prewarm - t_prod0,
+        t_dispatch - t_prewarm,
+        ", ".join(f"{t - t_prod0:.2f}" for t in chunk_done),
+    )
 
     if ckpt_file is not None:
         ckpt_file.close()
