@@ -35,16 +35,56 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dot_precision():
-    """MXU precision for the kernel's assembly dots: HIGHEST (6-pass bf16,
-    true-f32).
+    """Mosaic dot precision for the NON-bf16x3 dot modes (see ``_mvn_dot``).
 
-    A cheaper 3-pass HIGH (the framework's global matmul default) was
-    attempted as an A/B on 2026-08-19 and is a DEAD END: Mosaic's dot
-    lowering supports only DEFAULT and HIGHEST (`NotImplementedError:
-    Unsupported dot precision: HIGH`), and single-pass DEFAULT bf16 breaks
-    covariance positive-definiteness in this workload (CLAUDE.md). The
-    Cholesky sweep itself is exact f32 VPU math regardless."""
+    ``highest`` mode: HIGHEST (6-pass bf16, true-f32) — Mosaic's only
+    full-precision option; asking for the framework's global HIGH standard
+    directly is a DEAD END (`NotImplementedError: Unsupported dot precision:
+    HIGH`, measured 2026-08-19), which is why HIGH is emulated manually in
+    ``_mvn_dot`` instead. ``default`` mode: single-pass bf16 — PROBE-ONLY
+    (wrong numerics: single-pass bf16 breaks covariance positive-
+    definiteness in this workload, CLAUDE.md); used by scripts/probe_step.py
+    to measure the dot-pass share of the kernel cost. The Cholesky sweep
+    itself is exact f32 VPU math under every mode."""
+    import os as _os
+
+    if _os.environ.get("BIQ_MVN_DOT", "") == "default":
+        return jax.lax.Precision.DEFAULT
     return jax.lax.Precision.HIGHEST
+
+
+def _mvn_dot(a: jax.Array, b: jax.Array, mode: str = "bf16x3") -> jax.Array:
+    """Assembly dot at the framework's HIGH (3-pass bf16) matmul standard.
+
+    Mosaic rejects ``Precision.HIGH`` outright, so inside kernels HIGH is
+    emulated explicitly: split both f32 operands into bf16 hi + bf16 lo
+    residual and sum three single-pass MXU dots (hi*hi + hi*lo + lo*hi; the
+    dropped lo*lo term is O(2^-16) of the others' rounding, exactly XLA's
+    bf16_3x scheme). Probe decomposition (2026-08-19, production width):
+    HIGHEST dots cost 43 us/step of the 88 us kernel, single-pass 45 —
+    halving the passes is the single largest remaining step-kernel win.
+
+    ``mode``: ``bf16x3`` (default — matches the framework-wide HIGH matmul
+    standard; kernel outputs move ~2e-6 relative vs the f32 oracle, see
+    tests/test_pallas_mvn.py), ``highest`` (the 6-pass Mosaic precision,
+    strict-parity oracle + fallback), ``default`` (probe-only, wrong
+    numerics). Selected per call site via ``BIQ_MVN_DOT`` in
+    ``fused_block_mvn_loglike`` and threaded statically."""
+    if mode != "bf16x3":
+        return jax.lax.dot(a, b, precision=_dot_precision())
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    a_hi = a.astype(bf16)
+    a_lo = (a - a_hi.astype(f32)).astype(bf16)
+    b_hi = b.astype(bf16)
+    b_lo = (b - b_hi.astype(f32)).astype(bf16)
+
+    def d(x, y):
+        return jax.lax.dot(
+            x, y, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=f32,
+        )
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
 def _mvn_kernel(nb: int, a_ref, b_ref, out_ref):
@@ -103,7 +143,7 @@ def _block_mvn_pallas(Ct: jax.Array, dYt: jax.Array, interpret: bool = False) ->
 # --------------------------------------------------------------------------------------
 
 
-def _fused_kernel(nb: int, u_ref, d_ref, z_ref, v_ref, out_ref):
+def _fused_kernel(nb: int, dot_mode: str, u_ref, d_ref, z_ref, v_ref, out_ref):
     # U carries d0 as its LAST column (the wrapper appends a ones-row to z and
     # a zeros-row to v), so dY = U z includes the constant offset and the
     # covariance assembly sees d0 * 0 — one operand fewer, everything 2D.
@@ -114,12 +154,12 @@ def _fused_kernel(nb: int, u_ref, d_ref, z_ref, v_ref, out_ref):
     f32 = jnp.float32
 
     # Residual: dY = d0 + U z, (nb, lanes) on the MXU.
-    b = jax.lax.dot(U, z, precision=_dot_precision())
+    b = _mvn_dot(U, z, dot_mode)
 
     # Covariance columns: cols[g][f, w] = D[f, g] + sum_k U[f,k] U[g,k] v[k,w].
     cols = [
         D[:, g : g + 1]
-        + jax.lax.dot(U * U[g : g + 1, :], v, precision=_dot_precision())
+        + _mvn_dot(U * U[g : g + 1, :], v, dot_mode)
         for g in range(nb)
     ]
 
@@ -147,7 +187,8 @@ def _fused_kernel(nb: int, u_ref, d_ref, z_ref, v_ref, out_ref):
 
 
 def _fused_kernel_packed(
-    nb: int, m: int, wt: int, gc: int, u_ref, d_ref, z_ref, v_ref, out_ref
+    nb: int, m: int, wt: int, gc: int, dot_mode: str,
+    u_ref, d_ref, z_ref, v_ref, out_ref,
 ):
     """Lane-packed fused kernel: m observable blocks share one program.
 
@@ -192,25 +233,32 @@ def _fused_kernel_packed(
     # assembly). Output is WRONG under either — never set outside probes.
     probe = _os.environ.get("BIQ_MVN_PROBE", "")
 
-    stacked = (
-        not probe
-        and gc * m > 1
-        and _os.environ.get("BIQ_MVN_ASSEMBLY", "stacked") == "stacked"
+    assembly = "percol" if probe or gc * m <= 1 else _os.environ.get(
+        "BIQ_MVN_ASSEMBLY", "stacked"
     )
+    stacked = assembly in ("stacked", "stacked1")
     if stacked:
         Us = [u_ref[q, j] for q in range(gc) for j in range(m)]
         # residual: one (gc*m*nb, k+1) x (k+1, 128) dot for every block
-        B_all = jax.lax.dot(
-            jnp.concatenate(Us, axis=0), z, precision=_dot_precision()
-        )
-        # covariance column g of every block in one dot (rows U_i * U_i[g])
-        col_all = [
-            jax.lax.dot(
-                jnp.concatenate([Uu * Uu[g : g + 1, :] for Uu in Us], axis=0),
-                v, precision=_dot_precision(),
+        B_all = _mvn_dot(jnp.concatenate(Us, axis=0), z, dot_mode)
+        if assembly == "stacked1":
+            # ALL covariance columns of ALL blocks in ONE dot: rows ordered
+            # g-major so each (k+1,128) product slab below slices out as the
+            # same col_all[g] layout "stacked" produces with nb dots. Same
+            # VPU operand prep and total MXU row-passes; nb-fold fewer dot
+            # issues per grid step (A/B knob BIQ_MVN_ASSEMBLY=stacked1).
+            R = gc * m * nb
+            UU_rows = jnp.concatenate(
+                [Uu * Uu[g : g + 1, :] for g in range(nb) for Uu in Us], axis=0
             )
-            for g in range(nb)
-        ]
+            C_big = _mvn_dot(UU_rows, v, dot_mode)
+            col_all = [C_big[g * R : (g + 1) * R, :] for g in range(nb)]
+        else:
+            # covariance column g of every block in one dot (rows U_i * U_i[g])
+            col_all = [
+                _mvn_dot(jnp.concatenate([Uu * Uu[g : g + 1, :] for Uu in Us], axis=0), v, dot_mode)
+                for g in range(nb)
+            ]
 
     def _blk(arr, q, j):
         i = q * m + j
@@ -245,9 +293,9 @@ def _fused_kernel_packed(
             out_ref[q] = jnp.broadcast_to(-0.5 * quad - half_logdet, (8, lanes))
             continue
 
-        b = jax.lax.dot(u_ref[q, 0], z, precision=_dot_precision())
+        b = _mvn_dot(u_ref[q, 0], z, dot_mode)
         for j in range(1, m):
-            bj = jax.lax.dot(u_ref[q, j], z, precision=_dot_precision())
+            bj = _mvn_dot(u_ref[q, j], z, dot_mode)
             b = jnp.where(seg == j, bj, b)
         if probe == "noassembly":
             # constant-D covariance with a token data dependence on v
@@ -263,14 +311,10 @@ def _fused_kernel_packed(
             cols = []
             for g in range(nb):
                 U0 = u_ref[q, 0]
-                col = d_ref[q, 0][:, g : g + 1] + jax.lax.dot(
-                    U0 * U0[g : g + 1, :], v, precision=_dot_precision()
-                )
+                col = d_ref[q, 0][:, g : g + 1] + _mvn_dot(U0 * U0[g : g + 1, :], v, dot_mode)
                 for j in range(1, m):
                     Uj = u_ref[q, j]
-                    cj = d_ref[q, j][:, g : g + 1] + jax.lax.dot(
-                        Uj * Uj[g : g + 1, :], v, precision=_dot_precision()
-                    )
+                    cj = d_ref[q, j][:, g : g + 1] + _mvn_dot(Uj * Uj[g : g + 1, :], v, dot_mode)
                     col = jnp.where(seg == j, cj, col)
                 cols.append(col)
 
@@ -298,14 +342,17 @@ def _fused_kernel_packed(
         out_ref[q] = jnp.broadcast_to(-0.5 * quad - half_logdet, (8, lanes))
 
 
-@functools.partial(jax.jit, static_argnames=("wt", "gc", "interpret"))
-def _fused_packed_mvn_pallas(Up, Dp, zT, vT, wt: int, gc: int = 1, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("wt", "gc", "dot_mode", "interpret"))
+def _fused_packed_mvn_pallas(
+    Up, Dp, zT, vT, wt: int, gc: int = 1, dot_mode: str = "bf16x3",
+    interpret: bool = False,
+):
     """(n_grp,m,nb,k+1),(n_grp,m,nb,nb),(k+1,128),(k+1,128) -> (n_grp, 8, 128).
 
     ``gc`` consecutive block-groups run per grid step (n_grp must be a
     multiple of gc; the caller pads observables to m*gc)."""
     n_grp, m, nb, k1 = Up.shape
-    kernel = functools.partial(_fused_kernel_packed, nb, m, wt, gc)
+    kernel = functools.partial(_fused_kernel_packed, nb, m, wt, gc, dot_mode)
     return pl.pallas_call(
         kernel,
         grid=(n_grp // gc,),
@@ -321,13 +368,13 @@ def _fused_packed_mvn_pallas(Up, Dp, zT, vT, wt: int, gc: int = 1, interpret: bo
     )(Up, Dp, zT, vT)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_block_mvn_pallas(Ue, D, zT, vT, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("dot_mode", "interpret"))
+def _fused_block_mvn_pallas(Ue, D, zT, vT, dot_mode: str = "bf16x3", interpret: bool = False):
     """(n_obs,nb,k+1),(n_obs,nb,nb),(k+1,Wp),(k+1,Wp) -> (n_obs, Wp)."""
     n_obs, nb, k1 = Ue.shape
     Wp = zT.shape[-1]
     lanes = 128
-    kernel = functools.partial(_fused_kernel, nb)
+    kernel = functools.partial(_fused_kernel, nb, dot_mode)
     return pl.pallas_call(
         kernel,
         grid=(n_obs, Wp // lanes),
@@ -350,6 +397,7 @@ def fused_block_mvn_loglike(
     z: jax.Array,
     v: jax.Array,
     interpret: bool | None = None,
+    dot_mode: str | None = None,
 ) -> jax.Array:
     """Block-likelihood from emulator PC predictions, fully fused on TPU.
 
@@ -362,7 +410,16 @@ def fused_block_mvn_loglike(
     Off-TPU (or with interpret=None on a non-TPU lowering) falls back to the
     composed XLA implementation — identical math, used as the parity oracle in
     tests/test_ops.py.
+
+    ``dot_mode`` selects the in-kernel assembly-dot precision (see
+    ``_mvn_dot``); None reads ``BIQ_MVN_DOT`` (default ``bf16x3``, the
+    framework-wide HIGH matmul standard — adopted 2026-08-19 after the probe
+    put the HIGHEST passes at 43 of the 88 us/step kernel cost).
     """
+    import os as _os
+
+    if dot_mode is None:
+        dot_mode = _os.environ.get("BIQ_MVN_DOT", "bf16x3")
     n_obs, nb, k = U.shape
     W = z.shape[0]
 
@@ -420,7 +477,7 @@ def fused_block_mvn_loglike(
             ll = _fused_packed_mvn_pallas(
                 Ue_p.reshape(n_grp, m, nb, k + 1),
                 D_p.reshape(n_grp, m, nb, nb),
-                zT, vT, wt=wt, gc=gc, interpret=interp,
+                zT, vT, wt=wt, gc=gc, dot_mode=dot_mode, interpret=interp,
             )
             per_obs = ll[:, 0, :].reshape(n_grp * m, wt)
             return jnp.sum(per_obs[:, :W], axis=0)
@@ -429,7 +486,7 @@ def fused_block_mvn_loglike(
         if pad:
             ze = jnp.concatenate([ze, jnp.zeros((pad, k + 1), z.dtype)], axis=0)
             ve = jnp.concatenate([ve, jnp.zeros((pad, k + 1), v.dtype)], axis=0)
-        ll = _fused_block_mvn_pallas(Ue, D, ze.T, ve.T, interpret=interp)
+        ll = _fused_block_mvn_pallas(Ue, D, ze.T, ve.T, dot_mode=dot_mode, interpret=interp)
         return jnp.sum(ll[:, 0, :W], axis=0)
 
     if interpret is not None:

@@ -88,7 +88,10 @@ def test_fused_block_mvn_interpret_matches_scipy():
 
     U, D, d0, z, v = _random_fused(W=37, B=4, nb=11, k=9)  # 37 walkers -> pads to 128
     ours = np.asarray(
-        fused_block_mvn_loglike(*(jnp.asarray(a) for a in (U, D, d0, z, v)), interpret=True)
+        fused_block_mvn_loglike(
+            *(jnp.asarray(a) for a in (U, D, d0, z, v)),
+            interpret=True, dot_mode="highest",
+        )
     )
     np.testing.assert_allclose(ours, _fused_ref(U, D, d0, z, v), rtol=1e-8)
 
@@ -107,7 +110,7 @@ def test_fused_block_mvn_vmap_over_d0():
     out = jax.vmap(
         lambda d: fused_block_mvn_loglike(
             jnp.asarray(U), jnp.asarray(D), d, jnp.asarray(z), jnp.asarray(v),
-            interpret=True,
+            interpret=True, dot_mode="highest",
         )
     )(jnp.asarray(d0_batch))
     ref = np.stack([_fused_ref(U, D, d0_batch[p], z, v) for p in range(P)])
@@ -122,7 +125,10 @@ def test_fused_packed_mvn_interpret_matches_scipy():
 
     U, D, d0, z, v = _random_fused(W=50, B=5, nb=11, k=9)  # B=5 pads to 6 groups of 2
     ours = np.asarray(
-        fused_block_mvn_loglike(*(jnp.asarray(a) for a in (U, D, d0, z, v)), interpret=True)
+        fused_block_mvn_loglike(
+            *(jnp.asarray(a) for a in (U, D, d0, z, v)),
+            interpret=True, dot_mode="highest",
+        )
     )
     np.testing.assert_allclose(ours, _fused_ref(U, D, d0, z, v), rtol=1e-8)
 
@@ -135,7 +141,10 @@ def test_fused_packed_mvn_high_packing_factor():
     for W in (16, 13):
         U, D, d0, z, v = _random_fused(W=W, B=9, nb=7, k=6, seed=11 + W)
         ours = np.asarray(
-            fused_block_mvn_loglike(*(jnp.asarray(a) for a in (U, D, d0, z, v)), interpret=True)
+            fused_block_mvn_loglike(
+                *(jnp.asarray(a) for a in (U, D, d0, z, v)),
+                interpret=True, dot_mode="highest",
+            )
         )
         np.testing.assert_allclose(ours, _fused_ref(U, D, d0, z, v), rtol=1e-8)
 
@@ -148,3 +157,23 @@ def test_fused_block_mvn_dispatch_cpu_path():
         fused_block_mvn_loglike(*(jnp.asarray(a) for a in (U, D, d0, z, v)))
     )
     np.testing.assert_allclose(auto, _fused_ref(U, D, d0, z, v), rtol=1e-9)
+
+
+def test_fused_mvn_bf16x3_dot_mode_tolerance():
+    """The DEFAULT in-kernel dot mode is bf16x3 (the framework-wide HIGH
+    matmul standard, adopted 2026-08-19 — the 6-pass HIGHEST dots were 43 of
+    the 88 us/step production kernel cost). This pins its accuracy contract:
+    within 5e-6 relative of the f64 oracle on both the packed (W=50) and
+    plain (W=37 -> lane-padded) kernels, and well separated from the strict
+    1e-8 'highest' parity asserted above."""
+    from bayesian_inference_tpu.ops.pallas_mvn import fused_block_mvn_loglike
+
+    for W in (50, 37):
+        U, D, d0, z, v = _random_fused(W=W, B=5, nb=11, k=9, seed=23 + W)
+        ours = np.asarray(
+            fused_block_mvn_loglike(
+                *(jnp.asarray(a) for a in (U, D, d0, z, v)),
+                interpret=True, dot_mode="bf16x3",
+            )
+        )
+        np.testing.assert_allclose(ours, _fused_ref(U, D, d0, z, v), rtol=5e-6)
