@@ -234,7 +234,7 @@ def _fused_kernel_packed(
     probe = _os.environ.get("BIQ_MVN_PROBE", "")
 
     assembly = "percol" if probe or gc * m <= 1 else _os.environ.get(
-        "BIQ_MVN_ASSEMBLY", "stacked"
+        "BIQ_MVN_ASSEMBLY", "stacked1"
     )
     stacked = assembly in ("stacked", "stacked1")
     if stacked:
@@ -244,9 +244,13 @@ def _fused_kernel_packed(
         if assembly == "stacked1":
             # ALL covariance columns of ALL blocks in ONE dot: rows ordered
             # g-major so each (k+1,128) product slab below slices out as the
-            # same col_all[g] layout "stacked" produces with nb dots. Same
-            # VPU operand prep and total MXU row-passes; nb-fold fewer dot
-            # issues per grid step (A/B knob BIQ_MVN_ASSEMBLY=stacked1).
+            # same col_all[g] layout "stacked" produces with nb dots — the
+            # per-row math (K-order accumulation) is identical, so outputs
+            # match "stacked" bit-for-bit. Neutral under HIGHEST dots
+            # (issue count wasn't the bottleneck) but the DEFAULT since the
+            # bf16x3 adoption: v's hi/lo operand split happens once instead
+            # of nb times (production A/B 2026-08-20: 92/60 vs 94/63
+            # full/kernel-only us/step; BIQ_MVN_ASSEMBLY selects).
             R = gc * m * nb
             UU_rows = jnp.concatenate(
                 [Uu * Uu[g : g + 1, :] for g in range(nb) for Uu in Us], axis=0
