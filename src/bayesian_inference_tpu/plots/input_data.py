@@ -152,20 +152,27 @@ def plot(config) -> None:
     if not os.path.exists(os.path.join(config.output_dir, corr_filename)):
         corr_filename = "observables.h5"
     grouping = ObservableGrouping(observable_by_observable=True)
-    # Rendering hundreds of pair-grid figures is expensive; the load-bearing
-    # output (the exclusion-candidate list) comes from the outlier study on
-    # the training set, so that always runs. The validation-set study and the
-    # annotate-every-design-point variants (reference plot_input_data.py:205-223)
-    # are debugging aids, gated behind debug_level > 0.
-    debug = int(config.config.get("debug_level", 0) or 0) if hasattr(config, "config") else 0
-    # Optional top-level config key bounding how many correlation grids are
-    # rendered (the numeric outlier sweep always covers all of them); default
-    # None renders every grid like the reference.
+    # The reference (plot_input_data.py:190-232) renders all four studies
+    # unconditionally: (training, validation) x (outlier-identified,
+    # annotate-every-point). We match that default output set. The config key
+    # `plot_correlations_full: false` reverts to the training-set outlier
+    # study alone — the load-bearing exclusion-candidate sweep — for
+    # render-constrained hosts; `plot_correlations_max_rendered` bounds how
+    # many grids are RENDERED in either mode (the numeric outlier sweep is
+    # never truncated).
+    full = (
+        bool(config.config.get("plot_correlations_full", True))
+        if hasattr(config, "config") else True
+    )
     max_rendered = (
         config.config.get("plot_correlations_max_rendered")
         if hasattr(config, "config") else None
     )
-    validation_sets = (False, True) if debug > 0 else (False,)
+    validation_sets = (
+        (False, True)
+        if full and "Prediction_validation" in observables
+        else (False,)
+    )
     for validation_set in validation_sets:
         identified = plot_pairplot_correlations(
             config, plot_dir, observable_grouping=grouping,
@@ -180,7 +187,7 @@ def plot(config) -> None:
             f"correlation-study outlier design points "
             f"(validation={validation_set}, n={len(summary)}): {sorted(summary)}"
         )
-        if debug > 0:
+        if full:
             plot_pairplot_correlations(
                 config, plot_dir, observable_grouping=grouping,
                 annotate_design_points=True, validation_set=validation_set,

@@ -46,6 +46,13 @@ def test_steer_end_to_end(tmp_path):
     assert (run_dir / "plot_emulation" / "pca_observables__default_group.pdf").exists()
     assert (run_dir / "plot_emulation" / "pca_observables_sweep__default_group.pdf").exists()
     assert (run_dir / "plot_input_data" / "predictions__standard.pdf").exists()
+    # All four correlation studies run by default (reference
+    # plot_input_data.py:190-232): training + validation set, outlier-
+    # identified + annotate-every-point.
+    corr_pdfs = [p.name for p in (run_dir / "plot_input_data").glob("*pairplot_correlations*.pdf")]
+    assert any("_validation__" in n and "__outliers" in n for n in corr_pdfs)
+    assert any("__annotated" in n and "_validation__" not in n for n in corr_pdfs)
+    assert any("__annotated" in n and "_validation__" in n for n in corr_pdfs)
     assert (Path(cfg["output_dir"]) / "qhat_across_analyses.pdf").exists()
 
 
