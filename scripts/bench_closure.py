@@ -19,6 +19,9 @@ Env knobs: BENCH_CLOSURE_STEPS / BENCH_CLOSURE_WALKERS / BENCH_CLOSURE_POINTS
 shrink the workload; BENCH_CLOSURE_CHUNK sets the dispatch chunk (default
 1000); BIQ_CHAIN_TRANSFER=uint16 halves the download bytes (see
 docs/PARITY.md); BENCH_CLOSURE_WARMUP=0 skips the warm-up.
+BENCH_CLOSURE_MODE=lowrank benches the exact full-covariance Woodbury
+likelihood (writes CLOSURE_BENCH_LOWRANK.json; block mode keeps the
+reference-parity filename CLOSURE_BENCH.json).
 """
 from __future__ import annotations
 
@@ -54,6 +57,8 @@ N_STEPS = int(os.environ.get("BENCH_CLOSURE_STEPS", "50000"))
 N_WALKERS = int(os.environ.get("BENCH_CLOSURE_WALKERS", "100"))
 N_POINTS = int(os.environ.get("BENCH_CLOSURE_POINTS", "0") or 0)  # 0 = all
 CHUNK = int(os.environ.get("BENCH_CLOSURE_CHUNK", "1000"))
+MODE = os.environ.get("BENCH_CLOSURE_MODE", "block")
+assert MODE in ("block", "lowrank"), MODE
 
 workdir = REPO / "output" / "bench_production"
 if not (workdir / "bench.yaml").exists():
@@ -87,14 +92,14 @@ if os.environ.get("BENCH_CLOSURE_WARMUP", "1") != "0":
     warm_cfg = _mcmc_config()
     warm_cfg.n_sampling_steps = CHUNK  # one dispatch chunk, same program shape
     run_closure_batch(warm_cfg, indices, seed=0, dispatch_chunk=CHUNK,
-                      return_chains=False)
+                      return_chains=False, mode=MODE)
     shutil.rmtree(os.path.join(warm_cfg.output_dir, "closure"), ignore_errors=True)
     print(f"# warm-up (untimed, first-exec compiles): "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
 t0 = time.perf_counter()
 run_closure_batch(config, indices, seed=0, dispatch_chunk=CHUNK,
-                  return_chains=False,
+                  return_chains=False, mode=MODE,
                   checkpoint_every=max(1, N_STEPS // 4))
 total_s = time.perf_counter() - t0
 
@@ -110,6 +115,7 @@ line = {
     "metric": "production_closure_batch_walltime",
     "value": round(total_s, 1),
     "unit": "s",
+    "likelihood_mode": MODE,
     "n_points": P,
     "n_walkers": N_WALKERS,
     "n_steps": N_STEPS,
@@ -121,5 +127,6 @@ line = {
     "device": dev.device_kind,
     **({"memory_stats": mem} if mem else {}),
 }
-(REPO / "CLOSURE_BENCH.json").write_text(json.dumps(line, indent=1) + "\n")
+out_name = "CLOSURE_BENCH.json" if MODE == "block" else "CLOSURE_BENCH_LOWRANK.json"
+(REPO / out_name).write_text(json.dumps(line, indent=1) + "\n")
 print(json.dumps(line))

@@ -111,3 +111,40 @@ print(
     f"backward adds {(t_vg - t_val)*1e3:.1f} ms",
     file=sys.stderr,
 )
+
+# --- matmul-path (blocked factorization + closed-form grad) precision A/B ---
+# BIQ_PROBE_FIT_MM=1 times the TPU fit path's value+grad at HIGHEST and HIGH
+# panel/einsum precision (GPFitSpec.explore_precision decision input) and
+# cross-checks the HIGH grads against HIGHEST (basin-selection fidelity).
+import os as _os
+
+if _os.environ.get("BIQ_PROBE_FIT_MM", ""):
+    from bayesian_inference_tpu.models.gp import log_marginal_likelihood_matmul
+
+    def _mm_vg(prec):
+        def _lml_mm(p, yy):
+            return log_marginal_likelihood_matmul(cfg, p, D2, yy, 1e-6, prec)
+
+        @jax.jit
+        def f(params, y):
+            vals, grads = jax.vmap(jax.value_and_grad(_lml_mm))(params, y)
+            return vals, grads
+
+        return f
+
+    f_hi = _mm_vg(jax.lax.Precision.HIGHEST)
+    f_lo = _mm_vg(jax.lax.Precision.HIGH)
+    timed("matmul LML value+grad (HIGHEST)", f_hi, params, y)
+    timed("matmul LML value+grad (HIGH)", f_lo, params, y)
+    v_hi, g_hi = jax.tree.map(np.asarray, f_hi(params, y))
+    v_lo, g_lo = jax.tree.map(np.asarray, f_lo(params, y))
+    gh = np.concatenate([g_hi.log_length_scale.ravel(), g_hi.log_noise.ravel()])
+    gl = np.concatenate([g_lo.log_length_scale.ravel(), g_lo.log_noise.ravel()])
+    denom = np.maximum(np.abs(gh), 1e-6)
+    print(
+        f"# HIGH vs HIGHEST: |dLML| max {np.abs(v_lo - v_hi).max():.3e} "
+        f"(rel {np.abs((v_lo - v_hi) / np.maximum(np.abs(v_hi), 1.0)).max():.2e}); "
+        f"grad rel-err max {np.abs((gl - gh) / denom).max():.2e} "
+        f"median {np.median(np.abs((gl - gh) / denom)):.2e}",
+        file=sys.stderr,
+    )

@@ -113,6 +113,51 @@ variants = [
 
 import os as _os
 
+if _os.environ.get("BIQ_PROBE_GP", ""):
+    # Cumulative gp_eval decomposition (VERDICT r4 next #4): the ~30 us/step
+    # GP-eval share never got the probe treatment the MVN kernel did. Stages
+    # of gp.predict_all_shared, each variant adding the next compute block:
+    #   gp-sqdiff : (B,N,d) walker-design differences + per-PC ls contraction
+    #   gp-matern : + Matern kernel vector ks (the exp/VPU transcendental)
+    #   gp-mean   : + mean einsum kbn,kn->bk  (alpha contraction)
+    #   gp-var == gp-only (full predict: + Kinv contraction + var reduction)
+    # Opt-in (BIQ_PROBE_GP=1): each novel variant is a fresh remote compile.
+    from bayesian_inference_tpu.ops.gram import matern_from_sqdist
+
+    _posts = like.groups[0].posts
+    _cfg_g = like.groups[0].cfg
+    _XX = _posts.X[0]
+    _hi = jax.lax.Precision.HIGHEST
+
+    def _sq(x):
+        diff = x[:, None, :] - _XX[None, :, :]
+        D2 = diff * diff
+        w = jnp.exp(-2.0 * _posts.params.log_length_scale)
+        return jnp.einsum("bnd,kd->kbn", D2, w, precision=_hi)
+
+    def _ks(x):
+        ks = matern_from_sqdist(_sq(x), _cfg_g.nu)
+        if _cfg_g.with_constant:
+            ks = ks + jnp.exp(_posts.params.log_constant)[:, None, None]
+        return ks
+
+    def lp_gp_sqdiff(x):
+        return jnp.sum(_sq(x), axis=(0, 2)) * -1e-6
+
+    def lp_gp_matern(x):
+        return jnp.sum(_ks(x), axis=(0, 2)) * -1e-6
+
+    def lp_gp_mean(x):
+        ks = _ks(x)
+        mean = jnp.einsum("kbn,kn->bk", ks, _posts.alpha)
+        return jnp.sum(mean, axis=-1) - jnp.sum(ks, axis=(0, 2)) * 1e-6
+
+    variants[3:3] = [
+        ("gp-sqdiff", lp_gp_sqdiff, {}),
+        ("gp-matern", lp_gp_matern, {}),
+        ("gp-mean", lp_gp_mean, {}),
+    ]
+
 # BIQ_PROBE_ONLY=full,kernel-only runs a subset: each novel variant costs a
 # fresh 60-500 s remote compile, so A/Bs (dot precision, packing) should only
 # pay for the variants they compare.

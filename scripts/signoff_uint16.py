@@ -33,6 +33,7 @@ path = Path(sys.argv[1]) if len(sys.argv) > 1 else (
 )
 with h5py.File(path, "r") as f:
     chain = f["chain"][:]  # (n_steps, W, d)
+    log_prob = f["log_prob"][:] if "log_prob" in f else None
 n, W, d = chain.shape
 print(f"# chain {chain.shape} from {path}", file=sys.stderr)
 
@@ -73,4 +74,38 @@ out = {
     "max_dq_over_mc_se": max(max(r["dq_over_mc_se"]) for r in rows),
     "max_dtau_rel": max(r["dtau_rel"] for r in rows),
 }
+
+if log_prob is not None:
+    # log-prob transfer sign-off: apply the per-chunk min/span uint16
+    # round-trip (mcmc/runner.py::_quantize_minmax_u16) over the production
+    # ramp's chunk layout and report the worst absolute/relative archive
+    # error. log_prob is a plot-only diagnostic (traces + histogram); the
+    # sampler state and chain are untouched by construction.
+    import types
+
+    from bayesian_inference_tpu.mcmc.runner import _production_sizes
+
+    sizes = _production_sizes(
+        types.SimpleNamespace(n_sampling_steps=n, n_logging_steps=1000), None
+    ) or [n]
+    max_abs, max_span = 0.0, 0.0
+    pos = 0
+    for s in sizes:
+        lp = log_prob[pos : pos + s]
+        fin = np.isfinite(lp)
+        lo, hi = lp[fin].min(), lp[fin].max()
+        span = max(hi - lo, np.finfo(np.float64).tiny)
+        q = np.clip(np.rint((lp - lo) * (65534.0 / span)), 0, 65534)
+        deq = lo + q * (span / 65534.0)
+        max_abs = max(max_abs, float(np.abs(deq[fin] - lp[fin]).max()))
+        max_span = max(max_span, float(span))
+        pos += s
+    lp_fin = log_prob[np.isfinite(log_prob)]
+    out["log_prob"] = {
+        "chunk_layout": sizes,
+        "max_abs_err_nats": round(max_abs, 8),
+        "max_chunk_span_nats": round(max_span, 3),
+        "posterior_logp_std_nats": round(float(lp_fin.std()), 3),
+        "err_over_logp_std": round(max_abs / float(lp_fin.std()), 8),
+    }
 print(json.dumps(out, indent=1))

@@ -258,19 +258,13 @@ class SamplerPrograms:
 
 def chunk_sizes_for_config(config, checkpoint_every: int | None = None) -> list[int]:
     """The scan lengths run_mcmc will dispatch for this config."""
-    from bayesian_inference_tpu.mcmc.runner import _production_chunk
+    from bayesian_inference_tpu.mcmc.runner import _production_sizes
 
     nburn0 = config.n_burn_steps // 2
     nburn1 = config.n_burn_steps - nburn0
-    n_total = config.n_sampling_steps
     sizes = {nburn0, nburn1}
-    chunk = _production_chunk(config, checkpoint_every)
-    if chunk:
-        sizes.add(chunk)
-        if n_total % chunk:
-            sizes.add(n_total % chunk)
-    else:
-        sizes.add(n_total)
+    prod = _production_sizes(config, checkpoint_every)
+    sizes.update(prod if prod else [config.n_sampling_steps])
     return sorted(s for s in sizes if s > 0)
 
 

@@ -212,7 +212,7 @@ def run_mcmc(
     out3 = _run_production(
         config, k3, log_prob_fn, out2["coords"],
         checkpoint_every=checkpoint_every,
-        dispatch_chunk=_production_chunk(config, checkpoint_every),
+        sizes=_production_sizes(config, checkpoint_every),
         programs=programs,
         like=like,
     )
@@ -246,6 +246,13 @@ def run_mcmc(
     if rhat is None:
         rhat = stats.split_rhat(chain)
     output_dict["split_rhat"] = rhat
+    # Persist the on-device walker-averaged ACF spectrum (~1.6 MB): the
+    # tau-vs-length convergence plot then needs one host inverse transform
+    # instead of re-running every forward FFT pass (plots/mcmc.py).
+    if out3.get("mean_power") is not None:
+        power, nfft = out3["mean_power"]
+        output_dict["mean_power"] = np.asarray(power)
+        output_dict["mean_power_nfft"] = int(nfft)
     timings["autocorr"] = _time.perf_counter() - _t
     logger.info(
         f"autocorrelation estimate: {timings['autocorr']:.2f}s; "
@@ -605,7 +612,8 @@ def run_closure_batch(
             n_i = sizes[i_next]
             states, ys_i = run_chunk_batched(states, fn, d0_batch, n_i, shared_aux=like)
             qc_i = quant.quantize(ys_i[0]) if quant is not None else None
-            pending.append((n_i, ys_i, qc_i, states))
+            ql_i = quant.quantize_logp(ys_i[1]) if quant is not None else None
+            pending.append((n_i, ys_i, qc_i, ql_i, states))
             i_next += 1
 
     _dispatch_upto(window)
@@ -625,10 +633,10 @@ def run_closure_batch(
 
     def _prefetch(i_chunk):
         if 0 <= i_chunk < len(pending) and i_chunk not in inflight:
-            _n, ys_i, qc_i, _s = pending[i_chunk]
+            _n, ys_i, qc_i, ql_i, _s = pending[i_chunk]
             inflight[i_chunk] = (
-                pool.submit(np.asarray, ys_i[0] if qc_i is None else qc_i),
-                pool.submit(np.asarray, ys_i[1]),
+                pool.submit(_fetch, ys_i[0] if qc_i is None else qc_i),
+                pool.submit(_fetch, ys_i[1] if ql_i is None else ql_i),
             )
 
     _prefetch(0)
@@ -637,18 +645,19 @@ def run_closure_batch(
         _dispatch_upto(i_chunk + window)  # keep the in-flight window full
         _prefetch(i_chunk)
         _prefetch(i_chunk + 1)
-        n, ys, qc, snap = pending[i_chunk]
+        n, ys, qc, ql, snap = pending[i_chunk]
         f_chain, f_logp = inflight.pop(i_chunk)
         raw = hedge.result(
             f_chain, ys[0] if qc is None else qc, "closure chain slab"
         )  # (n, P+pad, W, d)
         chain_slab = raw if quant is None else quant.dequantize(raw)
-        logp_slab = hedge.result(f_logp, ys[1], "closure log-prob slab")
+        raw_lp = hedge.result(f_logp, ys[1] if ql is None else ql, "closure log-prob slab")
+        logp_slab = raw_lp if quant is None else quant.dequantize_logp(raw_lp)
         if not keep_slabs:
             # drop the device handles: the backend frees the chunk's HBM and
             # the window admits the next dispatch
-            pending[i_chunk] = (n, None, None, None)
-            del ys, qc, raw
+            pending[i_chunk] = (n, None, None, None, None)
+            del ys, qc, ql, raw
         for p, i in enumerate(closure_indices):
             hdf5.append_time_series(
                 cfgs[i].mcmc_output_dir, "mcmc.h5",
@@ -684,13 +693,13 @@ def run_closure_batch(
     # only: a resumed prefix lives in the per-point h5 files (host fallback).
     device_stats = None  # (power (P,K,d), nfft, rhat (P,d)) when on-accelerator
     if sum(sizes) == n_total and keep_slabs:  # fresh run: every slab on device
-        probe = next((ys[0] for _, ys, _qc, _ in pending if hasattr(ys[0], "devices")), None)
+        probe = next((ys[0] for _, ys, _qc, _ql, _ in pending if hasattr(ys[0], "devices")), None)
         if (
             probe is not None
             and next(iter(probe.devices())).platform != "cpu"
             and os.environ.get("BIQ_DEVICE_ACF", "1").lower() not in ("0", "false")
         ):
-            device_stats = stats.device_closure_stats([ys[0] for _, ys, _qc, _ in pending])
+            device_stats = stats.device_closure_stats([ys[0] for _, ys, _qc, _ql, _ in pending])
 
     acceptance = (acc_offset + np.asarray(states.n_accepted, np.int64)).astype(float) / n_total
     logger.info(
@@ -841,21 +850,38 @@ def _quantize_box_u16(x, tmin, scale):
     return jnp.clip(q, 0.0, 65535.0).astype(jnp.uint16)
 
 
+@jax.jit
+def _quantize_minmax_u16(x):
+    """Quantize against the batch's own finite min/span (for log_prob slabs,
+    which have no a-priori box). Codes 0..65534 span [lo, lo+span]; code 65535
+    is the non-finite sentinel (a walker pinned at the prior boundary carries
+    log_prob = -inf). Returns (codes, lo, span) — lo/span download as scalars."""
+    finite = jnp.isfinite(x)
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    lo = jnp.min(jnp.where(finite, x, big))
+    hi = jnp.max(jnp.where(finite, x, -big))
+    span = jnp.maximum(hi - lo, jnp.asarray(jnp.finfo(x.dtype).tiny, x.dtype))
+    q = jnp.clip(jnp.rint((x - lo) * (65534.0 / span)), 0.0, 65534.0).astype(jnp.uint16)
+    return jnp.where(finite, q, jnp.asarray(65535, jnp.uint16)), lo, span
+
+
 class _ChainQuantizer:
-    """Opt-in uint16 chain transfer (config ``chain_transfer: uint16`` /
-    ``BIQ_CHAIN_TRANSFER=uint16``).
+    """Opt-in uint16 chain + log-prob transfer (config ``chain_transfer:
+    uint16`` / ``BIQ_CHAIN_TRANSFER=uint16``).
 
     Walker coordinates always lie inside the prior box (out-of-box proposals
     get -inf and are rejected), so they quantize losslessly-in-structure to
     uint16 in prior-box units: q = rint((x - min) * 65535 / range), computed
     ON DEVICE so the d2h transfer — the bench's dominant phase — carries half
-    the bytes. Host-side dequantization back to the archive dtype happens
-    before anything is written to mcmc.h5 (the artifact schema is unchanged);
-    per-coordinate absolute rounding error is <= range/131070, and
-    docs/PARITY.md records the resulting posterior-quantile/tau deltas («
-    the chains' own MC error). The default transfer remains lossless.
+    the bytes. The log-prob trace quantizes against its own per-chunk finite
+    min/span (absolute error <= span/131068, with a sentinel code for -inf);
+    at production scale that is another 10 MB off the download. Host-side
+    dequantization back to the archive dtype happens before anything is
+    written to mcmc.h5 (the artifact schema is unchanged); docs/PARITY.md
+    records the resulting posterior-quantile/tau deltas (« the chains' own MC
+    error). The default transfer remains lossless.
 
-    ``prewarm`` executes the quantize program on zeros of each chunk shape
+    ``prewarm`` executes the quantize programs on zeros of each chunk shape
     BEFORE production chunks dispatch: the tunneled service defers server
     compilation to first execution, and compiling while the device executes
     is the known worker-crash hazard (NOTES.md 2026-08-16).
@@ -889,13 +915,31 @@ class _ChainQuantizer:
     def quantize(self, chain):
         return _quantize_box_u16(chain, self._tmin_dev, self._scale_dev)
 
+    def quantize_logp(self, logp):
+        """(codes, lo, span) device tuple for a log-prob slab."""
+        return _quantize_minmax_u16(logp)
+
     def prewarm(self, shapes) -> None:
         for shape in shapes:
             np.asarray(self.quantize(jnp.zeros(shape, self.np_dt)))
+            _fetch(self.quantize_logp(jnp.zeros(shape[:-1], self.np_dt)))
 
     def dequantize(self, q: np.ndarray) -> np.ndarray:
         x = self.tmin + np.asarray(q, np.float64) * ((self.tmax - self.tmin) / 65535.0)
         return x.astype(self.np_dt)
+
+    def dequantize_logp(self, fetched) -> np.ndarray:
+        q, lo, span = (np.asarray(a) for a in fetched)
+        x = np.float64(lo) + q.astype(np.float64) * (np.float64(span) / 65534.0)
+        return np.where(q == 65535, -np.inf, x).astype(self.np_dt)
+
+
+def _fetch(buf):
+    """Device->host transfer of one buffer or a tuple of buffers (each
+    np.asarray issues its own d2h RPC; a tuple rides one pool task)."""
+    if isinstance(buf, tuple):
+        return tuple(np.asarray(b) for b in buf)
+    return np.asarray(buf)
 
 
 class _HedgedFetcher:
@@ -953,7 +997,7 @@ class _HedgedFetcher:
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(max_workers=2)
-        pending.add(self._pool.submit(np.asarray, buf))
+        pending.add(self._pool.submit(_fetch, buf))
         while True:
             remaining = self.deadline_s - (_t.monotonic() - t0)
             if remaining <= 0:
@@ -1026,6 +1070,37 @@ def _production_chunk(config: MCMCConfig, checkpoint_every: int | None) -> int |
     return None
 
 
+def _production_sizes(config: MCMCConfig, checkpoint_every: int | None) -> list[int] | None:
+    """Dispatch-chunk size sequence for the production scan (None = single
+    dispatch).
+
+    Explicit cadence (``checkpoint_every`` / ``BIQ_DISPATCH_CHUNK``): uniform
+    chunks at the cadence (checkpoint-boundary alignment keeps resume
+    bit-exact). Default for long runs: a RAMPED sequence
+    [n/32, n/32, n/16] (32 | n) or [n/16, n/16] (16 | n) followed by n/8
+    chunks — the first chain slab starts downloading after ~3-6% of the scan
+    instead of 12.5%, so the concurrent fetch pool is busy from the start,
+    while later chunks stay coarse; only 2-3 distinct chunk-program shapes
+    total (each value-independent and persistent-cached). Falls back to the
+    uniform _production_chunk layouts when 16 doesn't divide n or the run is
+    short.
+    """
+    n = config.n_sampling_steps
+    chunk = _production_chunk(config, checkpoint_every)
+    if chunk is None:
+        return None
+    explicit = bool(checkpoint_every) or "BIQ_DISPATCH_CHUNK" in os.environ
+    if not explicit and n >= 20000 and n % 16 == 0:
+        lead = (
+            [n // 32, n // 32, n // 16] if n % 32 == 0 else [n // 16, n // 16]
+        )
+        return lead + [n // 8] * 7
+    sizes = [chunk] * (n // chunk)
+    if n % chunk:
+        sizes.append(n % chunk)
+    return sizes
+
+
 def _read_checkpoint_records(path: str, n_total: int) -> list[dict[str, Any]]:
     """Read the append-only checkpoint stream; tolerates a truncated tail."""
     records: list[dict[str, Any]] = []
@@ -1069,12 +1144,12 @@ def _run_production(
     log_prob_fn,
     x0,
     checkpoint_every: int | None,
-    dispatch_chunk: int | None,
+    sizes: list[int] | None,
     programs=None,
     like=None,
 ) -> dict[str, Any]:
     """Production run: single-dispatch scan by default, chunked with streamed
-    downloads when ``dispatch_chunk`` is set.
+    downloads when a ``sizes`` sequence is given (see _production_sizes).
 
     Chunks are dispatched back-to-back (jax async dispatch keeps the device
     pipeline full); each chunk's chain slab is then downloaded in completion
@@ -1103,7 +1178,7 @@ def _run_production(
         return run_chunk(state, log_prob_fn, n)
 
     n_total = config.n_sampling_steps
-    if not dispatch_chunk:
+    if not sizes:
         state = _init(key, x0)
         state, ys = _chunk(state, n_total)
         # Device is executing the (async-dispatched) scan: use the idle host
@@ -1188,10 +1263,15 @@ def _run_production(
 
     # Dispatch every chunk up front; snapshot per-chunk state (device handles).
     pending = []
-    remaining = n_total - steps_done
-    sizes = [dispatch_chunk] * (remaining // dispatch_chunk)
-    if remaining % dispatch_chunk:
-        sizes.append(remaining % dispatch_chunk)
+    if steps_done:
+        # Resume only happens under an explicit checkpoint cadence (uniform
+        # sizes); rebuild the uniform tail so chunk boundaries stay aligned
+        # with the uninterrupted run (RNG streams derive per chunk).
+        cadence = sizes[0]
+        remaining = n_total - steps_done
+        sizes = [cadence] * (remaining // cadence)
+        if remaining % cadence:
+            sizes.append(remaining % cadence)
     t_prod0 = _time.perf_counter()
     quant = _ChainQuantizer.from_config(config, like)
     if quant is not None:
@@ -1202,7 +1282,8 @@ def _run_production(
     for n in sizes:
         state, ys = _chunk(state, n)
         qc = quant.quantize(ys[0]) if quant is not None else None
-        pending.append((n, ys, qc, state))
+        ql = quant.quantize_logp(ys[1]) if quant is not None else None
+        pending.append((n, ys, qc, ql, state))
     t_dispatch = _time.perf_counter()
     stats.warm_fft_plans(n_total)  # host idle while the device executes
 
@@ -1216,18 +1297,19 @@ def _run_production(
 
     pool = ThreadPoolExecutor(max_workers=4)
     fetches = [
-        (n, pool.submit(np.asarray, ys[0] if qc is None else qc),
-         pool.submit(np.asarray, ys[1]),
-         pool.submit(np.asarray, ys[2]), ys, qc, snap)
-        for n, ys, qc, snap in pending
+        (n, pool.submit(_fetch, ys[0] if qc is None else qc),
+         pool.submit(_fetch, ys[1] if ql is None else ql),
+         pool.submit(np.asarray, ys[2]), ys, qc, ql, snap)
+        for n, ys, qc, ql, snap in pending
     ]
     trace_sum = float(acc_offset.mean())  # sum of per-step mean acceptance so far
     hedge = _HedgedFetcher()
     chunk_done: list[float] = []
-    for n, f_chain, f_logp, f_trace, ys, qc, snap in fetches:
+    for n, f_chain, f_logp, f_trace, ys, qc, ql, snap in fetches:
         raw = hedge.result(f_chain, ys[0] if qc is None else qc, "chain chunk")
         chains.append(raw if quant is None else quant.dequantize(raw))
-        logps.append(hedge.result(f_logp, ys[1], "log-prob chunk"))
+        raw_lp = hedge.result(f_logp, ys[1] if ql is None else ql, "log-prob chunk")
+        logps.append(raw_lp if quant is None else quant.dequantize_logp(raw_lp))
         hdf5.append_time_series(
             out_dir, "mcmc.h5", {"chain": chains[-1], "log_prob": logps[-1]}
         )
@@ -1265,7 +1347,7 @@ def _run_production(
     # spectrum + R-hat over the full chain. Device slabs are still alive in
     # ``pending``; a resumed host prefix (chains[0] from h5) uploads once.
     n_resumed = len(chains) - len(pending)
-    dev_pieces = chains[:n_resumed] + [ys[0] for _, ys, _qc, _ in pending]
+    dev_pieces = chains[:n_resumed] + [ys[0] for _, ys, _qc, _ql, _ in pending]
     return {
         "coords": state.coords,
         "final_log_prob": state.log_prob,

@@ -313,6 +313,41 @@ def integrated_time_from_power(
     return tau, tol * tau <= n_t
 
 
+def tau_vs_length_from_power(
+    power: npt.NDArray,
+    nfft: int,
+    n_t: int,
+    lengths,
+    c: float = 5.0,
+    out_dtype=np.float64,
+) -> npt.NDArray:
+    """Approximate tau-vs-chain-length convergence curve from ONE full-chain
+    walker-averaged power spectrum (:func:`device_mean_power`).
+
+    The exact curve re-estimates the ACF from every chain prefix — ~8 host
+    forward-FFT passes over all walker series on a CPU-steal-prone 1-vCPU
+    host (reference counterpart plot_mcmc.py:151-233). This variant reuses
+    the full-chain ACF the runner already computed ON DEVICE (one cheap
+    inverse transform here) and applies Sokal's window per length with the
+    searchable lag range capped at that length. Semantics preserved: where
+    the curve flattens and where it crosses the N/50 line; the FINAL point is
+    exactly the full-chain estimate. Early points differ from the exact
+    prefix estimator only by its extra estimator noise (the prefix ACF is a
+    noisier estimate of the same function). Returns (len(lengths), n_d).
+    """
+    taus_all = _taus_from_power(
+        np.asarray(power)[:, None, :], nfft, n_t, out_dtype
+    )[:, 0, :]
+    n_d = taus_all.shape[1]
+    lengths = np.asarray(lengths, int)
+    out = np.empty((len(lengths), n_d))
+    for i, n in enumerate(lengths):
+        L = min(int(n), n_t)
+        for d in range(n_d):
+            out[i, d] = taus_all[_auto_window(taus_all[:L, d], c), d]
+    return out
+
+
 def device_mean_power(chain_pieces) -> tuple[np.ndarray, int]:
     """Walker-averaged ACF power spectrum computed ON the accelerator.
 

@@ -84,9 +84,14 @@ def _dK_dsq(cfg: KernelConfig, sq: jax.Array) -> jax.Array:
     raise ValueError(f"Unsupported Matern nu={cfg.nu}")
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 5))
 def log_marginal_likelihood_matmul(
-    cfg: KernelConfig, params: KernelParams, D2: jax.Array, y: jax.Array, alpha_jitter
+    cfg: KernelConfig,
+    params: KernelParams,
+    D2: jax.Array,
+    y: jax.Array,
+    alpha_jitter,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """LML with a matmul-only factorization and a closed-form gradient.
 
@@ -98,19 +103,26 @@ def log_marginal_likelihood_matmul(
     anywhere (XLA lowers both far off MXU peak at the fit's thousands-of-
     small-matrices shapes). Nested-vmap safe: the factorization collapses all
     vmapped axes into one lane batch (blocked_cholesky.chol_inv_batched).
+
+    ``precision`` (static) sets the factorization-panel and LML/gradient
+    einsum fidelity for value AND grad — the GP fit's exploration stage
+    passes HIGH (3-pass bf16), everything else keeps the HIGHEST default.
+    It is an argument, not an ambient context, so it participates in every
+    trace-cache key (jax caches custom_vjp traces by abstract args).
     """
-    lml, _ = _lml_matmul_fwd(cfg, params, D2, y, alpha_jitter)
+    lml, _ = _lml_matmul_fwd(cfg, params, D2, y, alpha_jitter, precision)
     return lml
 
 
-def _lml_matmul_fwd(cfg, params, D2, y, alpha_jitter):
+def _lml_matmul_fwd(cfg, params, D2, y, alpha_jitter, precision=jax.lax.Precision.HIGHEST):
     from bayesian_inference_tpu.ops.blocked_cholesky import chol_inv_batched
+
     from bayesian_inference_tpu.ops.gram import train_gram_from_sqdiff
 
     K = train_gram_from_sqdiff(cfg, params, D2, alpha_jitter)
-    invL, half_logdet = chol_inv_batched(K[None])
+    invL, half_logdet = chol_inv_batched(K[None], precision=precision)
     invL, half_logdet = invL[0], half_logdet[0]
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
     alpha = jnp.einsum(
         "ji,j->i", invL, jnp.einsum("ij,j->i", invL, y, precision=hi), precision=hi
     )
@@ -119,9 +131,9 @@ def _lml_matmul_fwd(cfg, params, D2, y, alpha_jitter):
     return lml, (params, D2, y, alpha, invL)
 
 
-def _lml_matmul_bwd(cfg, res, g):
+def _lml_matmul_bwd(cfg, precision, res, g):
     params, D2, y, alpha, invL = res
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
     Kinv = jnp.einsum("ki,kj->ij", invL, invL, precision=hi)
     G = 0.5 * (alpha[:, None] * alpha[None, :] - Kinv)
 

@@ -90,6 +90,15 @@ class GPFitSpec:
     # _matmul) — the TPU fit path. Value/grad parity is pinned by
     # tests/test_gp.py::test_lml_matmul_matches_autodiff.
     lml_impl: str = struct.field(pytree_node=False, default="autodiff")
+    # Matmul precision for the EXPLORATION stage's factorization panels and
+    # LML/gradient einsums ("highest" | "high" | "default"). "high" = 3-pass
+    # bf16 — ~2x cheaper on the MXU than the 6-pass HIGHEST — and the
+    # survivors are re-polished at HIGHEST, so only basin SELECTION sees the
+    # reduced fidelity (non-finite LMLs from a PD failure are inf-guarded and
+    # simply lose the halving race). BIQ_FIT_EXPLORE_CHOL sets the TPU
+    # default in spec_from_reference_config; adoption is gated on a device
+    # A/B (see NOTES.md).
+    explore_precision: str = struct.field(pytree_node=False, default="highest")
 
 
 def _to_log_theta(spec: GPFitSpec, u: jax.Array) -> jax.Array:
@@ -102,12 +111,17 @@ def _to_u(spec: GPFitSpec, log_theta: jax.Array) -> jax.Array:
     return jnp.log(frac) - jnp.log1p(-frac)
 
 
-def _neg_lml_u(u: jax.Array, spec: GPFitSpec, D2: jax.Array, y: jax.Array) -> jax.Array:
+def _neg_lml_u(
+    u: jax.Array, spec: GPFitSpec, D2: jax.Array, y: jax.Array, precision=None
+) -> jax.Array:
     params = unpack_params(spec.cfg, _to_log_theta(spec, u), D2.shape[-1])
     if spec.lml_impl == "matmul":
         from bayesian_inference_tpu.models.gp import log_marginal_likelihood_matmul
 
-        lml = log_marginal_likelihood_matmul(spec.cfg, params, D2, y, spec.alpha_jitter)
+        kw = {} if precision is None else {"precision": precision}
+        lml = log_marginal_likelihood_matmul(
+            spec.cfg, params, D2, y, spec.alpha_jitter, **kw
+        )
     else:
         lml = log_marginal_likelihood_sqdiff(spec.cfg, params, D2, y, spec.alpha_jitter)
     # Guard non-finite (ill-conditioned gram at extreme hyperparams)
@@ -115,7 +129,12 @@ def _neg_lml_u(u: jax.Array, spec: GPFitSpec, D2: jax.Array, y: jax.Array) -> ja
 
 
 def _optimize_single(
-    u0: jax.Array, spec: GPFitSpec, D2: jax.Array, y: jax.Array, n_iters: int
+    u0: jax.Array,
+    spec: GPFitSpec,
+    D2: jax.Array,
+    y: jax.Array,
+    n_iters: int,
+    precision=None,
 ) -> tuple[jax.Array, jax.Array]:
     """L-BFGS from one start; returns (best_u, best_neg_lml).
 
@@ -129,7 +148,7 @@ def _optimize_single(
     the best basin matters (and making the default single full step safe;
     see GPFitSpec.trial_steps).
     """
-    obj = partial(_neg_lml_u, spec=spec, D2=D2, y=y)
+    obj = partial(_neg_lml_u, spec=spec, D2=D2, y=y, precision=precision)
     precond = optax.scale_by_lbfgs(memory_size=8)
     state0 = precond.init(u0)
     steps = jnp.asarray(spec.trial_steps, u0.dtype)
@@ -215,9 +234,16 @@ def _fit_gps_impl(
     y_flat = shard_leading_axis(jnp.repeat(Y_pc.T, R, axis=0), mesh)  # (k*R, N)
     # Exploration stage: basin selection tolerates reduced matmul precision
     # (~6x cheaper on the MXU); the survivors are re-polished at full float32.
+    # The gram einsums follow the ambient default; the factorization panels +
+    # LML/grad einsums run at spec.explore_precision (a STATIC argument so it
+    # keys the trace caches — the polish stage below keeps the HIGHEST
+    # default and never sees exploration-traced programs).
+    from bayesian_inference_tpu.ops.blocked_cholesky import precision_from_name
+
+    explore_p = precision_from_name(spec.explore_precision)
     with jax.default_matmul_precision("default"):
         u1_flat, v1_flat = jax.vmap(
-            lambda u, y: _optimize_single(u, spec, D2, y, iters1)
+            lambda u, y: _optimize_single(u, spec, D2, y, iters1, precision=explore_p)
         )(u0_flat, y_flat)
 
     if halve:
@@ -287,15 +313,22 @@ def spec_from_reference_config(
         lo_parts.append(np.log([noise_level_bounds[0]]))
         hi_parts.append(np.log([noise_level_bounds[1]]))
         theta0_parts.append(np.log([noise_level]))
+    import os
+
     if lml_impl == "auto":
         # matmul-only path on TPU (blocked factorization + closed-form grad);
         # autodiff over jnp.linalg.cholesky elsewhere. BIQ_FIT_LML overrides
         # for A/B measurement.
-        import os
-
         lml_impl = os.environ.get("BIQ_FIT_LML") or (
             "matmul" if jax.default_backend() == "tpu" else "autodiff"
         )
+    # Exploration-stage panel/LML precision (TPU matmul path only; the CPU
+    # autodiff path computes in the platform's native f64 regardless).
+    # Default "high" on TPU: 3-pass bf16 basin selection, HIGHEST polish —
+    # device A/B evidence in NOTES.md. BIQ_FIT_EXPLORE_CHOL=highest reverts.
+    explore_precision = os.environ.get("BIQ_FIT_EXPLORE_CHOL") or (
+        "high" if lml_impl == "matmul" else "highest"
+    )
     return GPFitSpec(
         cfg=cfg,
         theta0=np.concatenate(theta0_parts).astype(np_dtype),
@@ -305,4 +338,5 @@ def spec_from_reference_config(
         n_iters=n_iters,
         alpha_jitter=alpha_jitter,
         lml_impl=lml_impl,
+        explore_precision=explore_precision,
     )

@@ -24,10 +24,16 @@ gradient need is matmul work: alpha = invL^T (invL y), log|K| from the
 diagonal blocks, K^{-1} = invL^T invL. No TriangularSolve, no Cholesky
 backward anywhere.
 
-All matmuls run at HIGHEST precision regardless of the ambient matmul
-precision: the trailing Schur updates feed later pivots, and bf16 passes
-break positive-definiteness at this problem's conditioning (see the package
-__init__ note on jax_default_matmul_precision).
+Panel matmuls run at the explicit ``precision`` argument — HIGHEST by
+default, regardless of the ambient matmul precision: the trailing Schur
+updates feed later pivots, and single-pass bf16 breaks positive-definiteness
+at this problem's conditioning (see the package __init__ note on
+jax_default_matmul_precision). The GP fit's exploration stage may lower it
+to 3-pass bf16 (GPFitSpec.explore_precision) — basin selection tolerates
+that; survivor polish and posterior builds do not. Precision is an ARGUMENT
+(part of every trace-cache key), not a context: jax caches custom_vjp/
+custom_vmap traces by function identity + abstract args, so a trace-time
+context would leak whichever precision traced first into later stages.
 """
 
 from __future__ import annotations
@@ -41,6 +47,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _HI = jax.lax.Precision.HIGHEST
+
+_PRECISION_NAMES = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def precision_from_name(p):
+    """jax.lax.Precision from its lowercase name (Precision values pass through)."""
+    return _PRECISION_NAMES.get(p, p)
 
 # Diagonal block size; N pads to a multiple (identity on the pad). Trace-time
 # A/B knob: BIQ_CHOL_NB (multiple of 8 — Mosaic sublane tiling). Measured at
@@ -158,7 +175,7 @@ def _diag_chol_inv(A: jax.Array, interpret: bool | None):
 
 
 def blocked_chol_inv(
-    K: jax.Array, interpret: bool | None = None
+    K: jax.Array, interpret: bool | None = None, precision=_HI
 ) -> tuple[jax.Array, jax.Array]:
     """Batched (B, N, N) SPD -> (invL, half_logdet) with L K-factor inverse.
 
@@ -166,7 +183,14 @@ def blocked_chol_inv(
     (decoupled: the returned invL/half_logdet slice back exactly). ``interpret``
     follows the pallas convention: None = dispatch by lowering platform,
     True/False force the kernel's interpreter/compiled mode.
+
+    Panel matmuls run at ``precision`` (HIGHEST default; the GP fit's
+    exploration stage passes HIGH) — NEVER the ambient
+    jax.default_matmul_precision: single-pass bf16 Schur updates feed later
+    pivots and break positive-definiteness at this problem's conditioning
+    (see the package __init__ note).
     """
+    hi = precision_from_name(precision)
     B, N, _ = K.shape
     n_pad = (-N) % NB
     Np = N + n_pad
@@ -193,11 +217,11 @@ def blocked_chol_inv(
             jnp.log(jnp.diagonal(Lkk, axis1=-2, axis2=-1)), axis=-1
         )
         for i in range(k + 1, n):
-            L[i][k] = jnp.einsum("bij,bkj->bik", Ablk[i][k], invLkk, precision=_HI)
+            L[i][k] = jnp.einsum("bij,bkj->bik", Ablk[i][k], invLkk, precision=hi)
         for i in range(k + 1, n):
             for j in range(k + 1, i + 1):
                 Ablk[i][j] = Ablk[i][j] - jnp.einsum(
-                    "bik,bjk->bij", L[i][k], L[j][k], precision=_HI
+                    "bik,bjk->bij", L[i][k], L[j][k], precision=hi
                 )
 
     # Block forward substitution: invL[i][j] = -Inv[i][i] (sum_k L[i][k] Inv[k][j])
@@ -205,9 +229,9 @@ def blocked_chol_inv(
         for i in range(j + 1, n):
             S = None
             for k in range(j, i):
-                term = jnp.einsum("bik,bkj->bij", L[i][k], Inv[k][j], precision=_HI)
+                term = jnp.einsum("bik,bkj->bij", L[i][k], Inv[k][j], precision=hi)
                 S = term if S is None else S + term
-            Inv[i][j] = -jnp.einsum("bik,bkj->bij", Inv[i][i], S, precision=_HI)
+            Inv[i][j] = -jnp.einsum("bik,bkj->bij", Inv[i][i], S, precision=hi)
 
     zeros = jnp.zeros((B, NB, NB), K.dtype)
     invL = jnp.concatenate(
@@ -220,25 +244,36 @@ def blocked_chol_inv(
     return invL[:, :N, :N], half_logdet
 
 
-@jax.custom_batching.custom_vmap
-def chol_inv_batched(K: jax.Array) -> tuple[jax.Array, jax.Array]:
+@functools.lru_cache(maxsize=None)
+def _chol_inv_batched_for(precision):
+    """Per-precision vmap-collapsing wrapper (precision must key the trace
+    cache, so each precision gets its own custom_vmap instance)."""
+
+    @jax.custom_batching.custom_vmap
+    def chol_inv(K: jax.Array) -> tuple[jax.Array, jax.Array]:
+        return blocked_chol_inv(K, precision=precision)
+
+    @chol_inv.def_vmap
+    def _chol_inv_vmap_rule(axis_size, in_batched, K):
+        del axis_size
+        (k_batched,) = in_batched
+        assert k_batched, "chol_inv_batched vmapped with unbatched operand"
+        V, B, N, _ = K.shape
+        invL, hld = chol_inv(K.reshape(V * B, N, N))
+        return (invL.reshape(V, B, N, N), hld.reshape(V, B)), (True, True)
+
+    return chol_inv
+
+
+def chol_inv_batched(K: jax.Array, precision=_HI) -> tuple[jax.Array, jax.Array]:
     """(B, N, N) SPD -> (invL (B, N, N), half_logdet (B,)); vmap-collapsing.
 
     The GP fit evaluates its objective under nested vmaps (instances x trial
     candidates); a plain vmap over the Pallas diagonal kernel would lift it to
     one 128-lane-padded call PER INSTANCE. The batching rule instead folds any
-    vmapped axis into the existing batch (lane) dimension and re-enters this
+    vmapped axis into the existing batch (lane) dimension and re-enters the
     same function, so arbitrarily nested vmaps all collapse into one
-    full-width kernel launch.
+    full-width kernel launch. ``precision`` sets the panel matmul fidelity
+    (see blocked_chol_inv).
     """
-    return blocked_chol_inv(K)
-
-
-@chol_inv_batched.def_vmap
-def _chol_inv_vmap_rule(axis_size, in_batched, K):
-    del axis_size
-    (k_batched,) = in_batched
-    assert k_batched, "chol_inv_batched vmapped with unbatched operand"
-    V, B, N, _ = K.shape
-    invL, hld = chol_inv_batched(K.reshape(V * B, N, N))
-    return (invL.reshape(V, B, N, N), hld.reshape(V, B)), (True, True)
+    return _chol_inv_batched_for(precision_from_name(precision))(K)

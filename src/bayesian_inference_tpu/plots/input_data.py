@@ -38,11 +38,18 @@ class ObservableGrouping:
     """How to group observable bins into pair-correlation grids (reference
     plot_input_data.py:53-147): one grid per observable, one per emulator
     group (chunked at MAX_CHUNK_SIZE), or fixed-size chunks of the globally
-    sorted feature matrix."""
+    sorted feature matrix.
+
+    ``max_bins_per_grid``: render-cost chunking bound for per-observable
+    grids (default MAX_BINS_PER_OBSERVABLE_GRID); None/0 disables chunking —
+    every observable renders its FULL bin grid in one figure, exactly the
+    reference's layout (plot_input_data.py:88-104). Config key:
+    ``plot_correlations_single_figure: true``."""
 
     observable_by_observable: bool = False
     emulator_groups: bool = False
     fixed_size: int | None = None
+    max_bins_per_grid: int | None = MAX_BINS_PER_OBSERVABLE_GRID
 
     @property
     def label(self) -> str:
@@ -74,14 +81,15 @@ class ObservableGrouping:
                 observables[pred_key], observable_filter=config.observable_filter
             ):
                 y = np.atleast_2d(observables[pred_key][label]["y"]).T  # (n_design, n_bins)
-                if y.shape[1] <= MAX_BINS_PER_OBSERVABLE_GRID:
+                bins_cap = self.max_bins_per_grid or y.shape[1]
+                if y.shape[1] <= bins_cap:
                     cols = [f"bin {i}" for i in range(y.shape[1])]
                     yield f"observable_{label}", label, y, design_points, cols
                 else:
                     for i_chunk, start in enumerate(
-                        range(0, y.shape[1], MAX_BINS_PER_OBSERVABLE_GRID)
+                        range(0, y.shape[1], bins_cap)
                     ):
-                        sl = slice(start, min(start + MAX_BINS_PER_OBSERVABLE_GRID, y.shape[1]))
+                        sl = slice(start, min(start + bins_cap, y.shape[1]))
                         cols = [f"bin {i}" for i in range(sl.start, sl.stop)]
                         yield (
                             f"observable_{label}__bins_{i_chunk}",
@@ -151,7 +159,17 @@ def plot(config) -> None:
     corr_filename = "observables_preprocessed.h5"
     if not os.path.exists(os.path.join(config.output_dir, corr_filename)):
         corr_filename = "observables.h5"
-    grouping = ObservableGrouping(observable_by_observable=True)
+    # plot_correlations_single_figure: true -> full bin grid per observable
+    # in ONE figure (reference plot_input_data.py:88-104 layout); default
+    # keeps the 8-bins-per-figure render-cost chunking.
+    single_fig = (
+        bool(config.config.get("plot_correlations_single_figure", False))
+        if hasattr(config, "config") else False
+    )
+    grouping = ObservableGrouping(
+        observable_by_observable=True,
+        max_bins_per_grid=None if single_fig else MAX_BINS_PER_OBSERVABLE_GRID,
+    )
     # The reference (plot_input_data.py:190-232) renders all four studies
     # unconditionally: (training, validation) x (outlier-identified,
     # annotate-every-point). We match that default output set. The config key

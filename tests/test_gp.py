@@ -145,3 +145,39 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_allclose(np.asarray(back.log_length_scale), np.asarray(params.log_length_scale))
     np.testing.assert_allclose(float(back.log_noise), float(params.log_noise))
     np.testing.assert_allclose(float(back.log_constant), float(params.log_constant))
+
+
+def test_lml_matmul_precision_argument_threads_through_vjp():
+    """The static ``precision`` argument must change the dot precision in
+    BOTH the custom_vjp forward and backward jaxprs (the fit's exploration
+    stage relies on this), it must key the trace cache (trace order must not
+    leak one precision into the other), and the HIGH value must stay within
+    exploration-grade tolerance of the HIGHEST value."""
+    from bayesian_inference_tpu.models.gp import log_marginal_likelihood_matmul
+    from bayesian_inference_tpu.ops.gram import KernelConfig, KernelParams, pairwise_sqdiff
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(0, 1, (12, 3)))
+    y = jnp.asarray(rng.normal(size=12))
+    D2 = pairwise_sqdiff(X)
+    cfg = KernelConfig(nu=1.5, with_noise=True)
+    params = KernelParams.create(np.log(np.ones(3)), noise=0.3)
+
+    def vg(p, prec):
+        return jax.value_and_grad(
+            lambda pp: log_marginal_likelihood_matmul(cfg, pp, D2, y, 1e-8, prec)
+        )(p)
+
+    # Trace HIGH first on purpose: a trace-cache leak would then show HIGH
+    # dots in the HIGHEST jaxpr (the context-manager formulation failed
+    # exactly this way).
+    low = str(jax.make_jaxpr(lambda p: vg(p, jax.lax.Precision.HIGH))(params))
+    plain = str(jax.make_jaxpr(lambda p: vg(p, jax.lax.Precision.HIGHEST))(params))
+    n_plain_hi = plain.count("Precision.HIGHEST")
+    n_low_hi = low.count("Precision.HIGHEST")
+    assert n_plain_hi > 0 and n_low_hi < n_plain_hi
+    assert low.count("Precision.HIGH,") > plain.count("Precision.HIGH,")
+    # value parity on CPU (precision is a TPU lowering hint; same math here)
+    v_hi, _ = vg(params, jax.lax.Precision.HIGHEST)
+    v_lo, _ = vg(params, jax.lax.Precision.HIGH)
+    np.testing.assert_allclose(float(v_lo), float(v_hi), rtol=1e-6)

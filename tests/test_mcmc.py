@@ -396,6 +396,37 @@ def test_production_chunk_honors_logging_cadence():
     assert _production_chunk(cfg(5000, 1000), 250) == 250       # checkpoint wins
 
 
+def test_production_sizes_ramp_and_uniform(monkeypatch):
+    """Long default runs get the ramped chunk sequence (first slab downloads
+    after ~3% of the scan); explicit cadences stay uniform (checkpoint
+    boundary alignment => bit-exact resume); ramp sizes sum to the run and
+    use only 3 distinct program shapes."""
+    import types
+
+    from bayesian_inference_tpu.mcmc.runner import _production_sizes
+
+    def cfg(n, log):
+        return types.SimpleNamespace(n_sampling_steps=n, n_logging_steps=log)
+
+    ramp = _production_sizes(cfg(50000, 1000), None)  # 16 | n, 32 does not
+    assert ramp == [3125, 3125] + [6250] * 7
+    assert sum(ramp) == 50000 and len(set(ramp)) == 2
+    ramp32 = _production_sizes(cfg(64000, 0), None)   # 32 | n: finer lead-in
+    assert ramp32 == [2000, 2000, 4000] + [8000] * 7
+    assert sum(ramp32) == 64000 and len(set(ramp32)) == 3
+    # explicit checkpoint cadence: uniform
+    assert _production_sizes(cfg(50000, 1000), 12500) == [12500] * 4
+    # BIQ_DISPATCH_CHUNK override: uniform at the override
+    monkeypatch.setenv("BIQ_DISPATCH_CHUNK", "25000")
+    assert _production_sizes(cfg(50000, 1000), None) == [25000, 25000]
+    monkeypatch.delenv("BIQ_DISPATCH_CHUNK")
+    # non-32-divisible long run: uniform eighths/quarters fallback
+    assert _production_sizes(cfg(20004, 0), None) == [5001] * 4
+    # short run: logging-cadence chunking; no cadence -> single dispatch
+    assert _production_sizes(cfg(5000, 1000), None) == [1000] * 5
+    assert _production_sizes(cfg(5000, 0), None) is None
+
+
 def test_run_mcmc_lowrank_mode(likelihood_setup):
     """Full runner in 'lowrank' likelihood mode (Woodbury path): no operand
     AOT programs exist for it, so this exercises the jit-closure fallback."""
@@ -581,6 +612,19 @@ def test_device_acf_stats_match_host(monkeypatch):
     rhat_dev = stats.device_split_rhat([chain[:700], chain[700:]])
     np.testing.assert_allclose(rhat_dev, rhat_host, rtol=1e-10)
 
+    # tau-vs-length from the stored spectrum (plot-stage offload): final
+    # point == the full-chain estimate exactly; earlier points finite,
+    # positive, and within the exact prefix estimator's noise band.
+    lengths = np.unique(np.logspace(2, np.log10(n), 6).astype(int))
+    curve = stats.tau_vs_length_from_power(power, nfft, n, lengths)
+    assert curve.shape == (len(lengths), D)
+    np.testing.assert_allclose(curve[-1], tau_host, rtol=1e-8)
+    exact = np.array([stats.integrated_time(chain[:m], quiet=True) for m in lengths])
+    assert np.all(curve > 0)
+    # same convergence story as the exact curve: agree where both have
+    # converged (the last few lengths), loose everywhere (estimator noise)
+    np.testing.assert_allclose(curve[-2:], exact[-2:], rtol=0.35)
+
 
 def test_device_closure_stats_match_host():
     """device_closure_stats (one scanned on-device program over closure
@@ -764,11 +808,34 @@ def test_chain_quantizer_roundtrip_error_bound():
     np.testing.assert_array_equal(out[0, 1], tmax)
 
 
+def test_logp_minmax_quantizer_roundtrip_and_sentinel():
+    """Per-chunk min/span uint16 log-prob quantization: absolute error
+    <= span/131068 on finite values, -inf round-trips through the sentinel
+    code, and the degenerate all-equal slab decodes exactly."""
+    from bayesian_inference_tpu.mcmc.runner import _ChainQuantizer
+
+    q = _ChainQuantizer(np.zeros(2), np.ones(2), np.dtype(np.float64))
+    rng = np.random.default_rng(5)
+    lp = rng.uniform(-130.0, -40.0, (64, 7))
+    lp[3, 2] = -np.inf
+    out = q.dequantize_logp(q.quantize_logp(jnp.asarray(lp)))
+    assert out.shape == lp.shape and out.dtype == lp.dtype
+    assert out[3, 2] == -np.inf
+    finite = np.isfinite(lp)
+    span = lp[finite].max() - lp[finite].min()
+    assert np.all(np.abs(out[finite] - lp[finite]) <= span / 131068.0 * (1 + 1e-12))
+    # degenerate slab: every finite value identical
+    flat = np.full((4, 3), -7.25)
+    out2 = q.dequantize_logp(q.quantize_logp(jnp.asarray(flat)))
+    np.testing.assert_array_equal(out2, flat)
+
+
 def test_production_uint16_chain_transfer_parity(likelihood_setup, monkeypatch):
     """End-to-end run with chain_transfer=uint16: sampling is UNCHANGED (the
-    quantization only rides the download), so log-probs and acceptance are
-    bit-identical to a lossless run and the archived chain differs by at most
-    half a quantization step per coordinate."""
+    quantization only rides the download), so acceptance is bit-identical to a
+    lossless run, the archived chain differs by at most half a prior-box
+    quantization step per coordinate, and the archived log-prob by at most
+    half a per-chunk min/span step."""
     from bayesian_inference_tpu.mcmc.runner import run_mcmc
     from bayesian_inference_tpu.pipeline.configs import MCMCConfig
 
@@ -782,7 +849,6 @@ def test_production_uint16_chain_transfer_parity(likelihood_setup, monkeypatch):
     cfg_q = MCMCConfig(**kw)
     assert cfg_q.chain_transfer == "uint16"
     out_q = run_mcmc(cfg_q, seed=11, checkpoint_every=16)
-    np.testing.assert_array_equal(out_q["log_prob"], out_plain["log_prob"])
     np.testing.assert_array_equal(
         out_q["acceptance_fraction"], out_plain["acceptance_fraction"]
     )
@@ -792,3 +858,14 @@ def test_production_uint16_chain_transfer_parity(likelihood_setup, monkeypatch):
     err = np.abs(out_q["chain"] - out_plain["chain"])
     assert err.max() > 0  # quantization actually happened
     assert np.all(err <= bound * (1 + 1e-12))
+    # archived log-prob: bounded by each checkpoint chunk's own finite span
+    lp_p, lp_q = out_plain["log_prob"], out_q["log_prob"]
+    assert lp_q.shape == lp_p.shape
+    for s0 in range(0, lp_p.shape[0], 16):
+        sl = slice(s0, s0 + 16)
+        fin = np.isfinite(lp_p[sl])
+        np.testing.assert_array_equal(np.isfinite(lp_q[sl]), fin)
+        span = lp_p[sl][fin].max() - lp_p[sl][fin].min()
+        assert np.all(
+            np.abs(lp_q[sl][fin] - lp_p[sl][fin]) <= span / 131068.0 * (1 + 1e-12)
+        )

@@ -178,6 +178,44 @@ def test_input_data_pairplot_correlations(tmp_path):
     )
     assert list(Path(tmp_path).glob("*emulator_groups__g*.pdf"))
 
+    # single-figure opt-in (plot_correlations_single_figure): a wide
+    # observable renders its FULL bin grid in ONE figure — the reference's
+    # layout (plot_input_data.py:88-104) — instead of 8-bin chunks
+    single_dir = Path(tmp_path) / "single"
+    single_dir.mkdir()
+    plot_pairplot_correlations(
+        cfg, str(single_dir),
+        ObservableGrouping(observable_by_observable=True, max_bins_per_grid=None),
+        max_rendered_groups=1,
+    )
+    singles = list(single_dir.glob("*observable_by_observable*.pdf"))
+    assert len(singles) == 1
+    assert not list(single_dir.glob("*__bins_*.pdf"))  # no chunk suffixes
+
+    # generator-level check on a WIDE (15-bin) observable: default chunks at
+    # 8 bins/figure; single-figure mode yields ONE full-width grid
+    wide_dir = Path(tmp_path) / "wide"
+    wide_dir.mkdir()
+    config_path2, name2, param2 = make_analysis_yaml(
+        wide_dir, groups={"g": {"n_pc": 2, "observable_list": ["pt_pi0_phenix"]}}
+    )
+    ac2 = load_yaml(config_path2)["analyses"][name2]
+    cfg2 = EmulationConfig.from_config_file(
+        analysis_name=name2, parameterization=param2,
+        config_file=str(config_path2), analysis_config=ac2,
+    )
+    chunked = list(
+        ObservableGrouping(observable_by_observable=True).gen(cfg2, "observables.h5", False)
+    )
+    single = list(
+        ObservableGrouping(observable_by_observable=True, max_bins_per_grid=None).gen(
+            cfg2, "observables.h5", False
+        )
+    )
+    assert len(chunked) == 2 and all("__bins_" in e[0] for e in chunked)
+    assert len(single) == 1 and single[0][2].shape[1] == 15
+    assert "__bins_" not in single[0][0]
+
     # fixed-size mode with annotation; rendering capped but the numeric
     # outlier sweep must still cover every chunk
     out_fixed = plot_pairplot_correlations(
