@@ -390,3 +390,48 @@ def test_batched_closure_bounded_dispatch_window(closure_setup, monkeypatch):
         np.testing.assert_array_equal(
             windowed[i]["acceptance_fraction"], full[i]["acceptance_fraction"]
         )
+
+
+def test_batched_closure_uint16_transfer_parity(closure_setup, monkeypatch):
+    """Batched closure with chain_transfer=uint16: sampling unchanged
+    (acceptance bit-identical to a lossless run), archived chains within half
+    a prior-box quantization step, archived log-prob within half a per-chunk
+    min/span step (the slab spans ALL points, so the bound uses the slab's
+    own span)."""
+    from bayesian_inference_tpu.mcmc.runner import run_closure_batch
+
+    config_path, analysis_name, param, analysis_config = closure_setup
+    kw = dict(
+        analysis_name=analysis_name, parameterization=param,
+        analysis_config=analysis_config, config_file=str(config_path),
+    )
+    out_plain = run_closure_batch(MCMCConfig(**kw), [3, 4], seed=0, dispatch_chunk=10)
+    chains_p = {i: out_plain[i]["chain"].copy() for i in (3, 4)}
+    logps_p = {i: out_plain[i]["log_prob"].copy() for i in (3, 4)}
+
+    monkeypatch.setenv("BIQ_CHAIN_TRANSFER", "uint16")
+    cfg_q = MCMCConfig(**kw)
+    assert cfg_q.chain_transfer == "uint16"
+    out_q = run_closure_batch(cfg_q, [3, 4], seed=0, dispatch_chunk=10)
+
+    pspec = analysis_config["parameterization"][param]
+    bound = (np.asarray(pspec["max"], float) - np.asarray(pspec["min"], float)) / 131070.0
+    saw_quantization = False
+    for i in (3, 4):
+        np.testing.assert_array_equal(
+            out_q[i]["acceptance_fraction"], out_plain[i]["acceptance_fraction"]
+        )
+        err = np.abs(out_q[i]["chain"] - chains_p[i])
+        saw_quantization |= err.max() > 0
+        assert np.all(err <= bound * (1 + 1e-12))
+    assert saw_quantization
+    # log-prob: per-dispatch-chunk bound from the ALL-points slab span
+    lp_p = np.stack([logps_p[3], logps_p[4]], axis=1)  # (n, P, W)
+    lp_q = np.stack([out_q[3]["log_prob"], out_q[4]["log_prob"]], axis=1)
+    n = lp_p.shape[0]
+    for s0 in range(0, n, 10):
+        sl = slice(s0, s0 + 10)
+        fin = np.isfinite(lp_p[sl])
+        np.testing.assert_array_equal(np.isfinite(lp_q[sl]), fin)
+        span = lp_p[sl][fin].max() - lp_p[sl][fin].min()
+        assert np.all(np.abs(lp_q[sl][fin] - lp_p[sl][fin]) <= span / 131068.0 * (1 + 1e-12))
