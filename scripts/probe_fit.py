@@ -132,9 +132,43 @@ if _os.environ.get("BIQ_PROBE_FIT_MM", ""):
 
         return f
 
+    from bayesian_inference_tpu.ops.blocked_cholesky import NB, chol_inv_batched
+
+    @jax.jit
+    def mm_chol_only(params):
+        K = jax.vmap(lambda p: train_gram_from_sqdiff(cfg, p, D2, 1e-6))(params)
+        invL, hld = chol_inv_batched(K)
+        return jnp.sum(hld) + jnp.sum(invL)
+
+    timed(f"gram + blocked chol_inv (NB={NB})", mm_chol_only, params)
+
+    @jax.jit
+    def mm_value_only(params, y):
+        vals = jax.vmap(
+            lambda p, yy: log_marginal_likelihood_matmul(cfg, p, D2, yy, 1e-6)
+        )(params, y)
+        return jnp.sum(vals)
+
+    timed("matmul LML value only (fwd)", mm_value_only, params, y)
+
+    # The backward's recomputed scaled-sqdist einsum + Matern sqrt/exp chain
+    # (_lml_matmul_bwd lines computing sq and _dK_dsq), in isolation — the
+    # piece a dK-residual cache would delete.
+    from bayesian_inference_tpu.models.gp import _dK_dsq
+
+    @jax.jit
+    def bwd_transcendental(params):
+        def one(p):
+            w = jnp.exp(-2.0 * p.log_length_scale)
+            sq = jnp.einsum("ijk,k->ij", D2, w)
+            return jnp.sum(_dK_dsq(cfg, sq))
+
+        return jnp.sum(jax.vmap(one)(params))
+
+    timed("bwd sq-einsum + dK/dsq chain", bwd_transcendental, params)
     f_hi = _mm_vg(jax.lax.Precision.HIGHEST)
     f_lo = _mm_vg(jax.lax.Precision.HIGH)
-    timed("matmul LML value+grad (HIGHEST)", f_hi, params, y)
+    timed(f"matmul LML value+grad (HIGHEST, NB={NB})", f_hi, params, y)
     timed("matmul LML value+grad (HIGH)", f_lo, params, y)
     v_hi, g_hi = jax.tree.map(np.asarray, f_hi(params, y))
     v_lo, g_lo = jax.tree.map(np.asarray, f_lo(params, y))

@@ -91,13 +91,12 @@ class GPFitSpec:
     # tests/test_gp.py::test_lml_matmul_matches_autodiff.
     lml_impl: str = struct.field(pytree_node=False, default="autodiff")
     # Matmul precision for the EXPLORATION stage's factorization panels and
-    # LML/gradient einsums ("highest" | "high" | "default"). "high" = 3-pass
-    # bf16 — ~2x cheaper on the MXU than the 6-pass HIGHEST — and the
-    # survivors are re-polished at HIGHEST, so only basin SELECTION sees the
-    # reduced fidelity (non-finite LMLs from a PD failure are inf-guarded and
-    # simply lose the halving race). BIQ_FIT_EXPLORE_CHOL sets the TPU
-    # default in spec_from_reference_config; adoption is gated on a device
-    # A/B (see NOTES.md).
+    # LML/gradient einsums ("highest" | "high" | "default"). Device A/B
+    # 2026-08-20 (probe_fit BIQ_PROBE_FIT_MM=1, B=2091, N=200): HIGH is
+    # timing-NEUTRAL (126.6 vs 126.1 ms/iter) — the matmul fit path is not
+    # MXU-pass-bound — so the default stays "highest" (full fidelity for
+    # free). The knob and its trace-cache-keying semantics are kept for
+    # other shapes (BIQ_FIT_EXPLORE_CHOL overrides; see NOTES.md).
     explore_precision: str = struct.field(pytree_node=False, default="highest")
 
 
@@ -322,13 +321,11 @@ def spec_from_reference_config(
         lml_impl = os.environ.get("BIQ_FIT_LML") or (
             "matmul" if jax.default_backend() == "tpu" else "autodiff"
         )
-    # Exploration-stage panel/LML precision (TPU matmul path only; the CPU
-    # autodiff path computes in the platform's native f64 regardless).
-    # Default "high" on TPU: 3-pass bf16 basin selection, HIGHEST polish —
-    # device A/B evidence in NOTES.md. BIQ_FIT_EXPLORE_CHOL=highest reverts.
-    explore_precision = os.environ.get("BIQ_FIT_EXPLORE_CHOL") or (
-        "high" if lml_impl == "matmul" else "highest"
-    )
+    # Exploration-stage panel/LML precision. Default "highest" everywhere:
+    # the device A/B found HIGH timing-neutral on the matmul path (the fit is
+    # not MXU-pass-bound — NOTES.md 2026-08-20), so there is nothing to buy
+    # with the reduced fidelity. BIQ_FIT_EXPLORE_CHOL overrides for A/Bs.
+    explore_precision = os.environ.get("BIQ_FIT_EXPLORE_CHOL") or "highest"
     return GPFitSpec(
         cfg=cfg,
         theta0=np.concatenate(theta0_parts).astype(np_dtype),
