@@ -166,6 +166,32 @@ if _os.environ.get("BIQ_PROBE_FIT_MM", ""):
         return jnp.sum(jax.vmap(one)(params))
 
     timed("bwd sq-einsum + dK/dsq chain", bwd_transcendental, params)
+
+    # The backward's two remaining dense pieces, isolated on synthetic
+    # operands of the right shapes: Kinv = invL^T invL, and the
+    # H-assembly + d_log_ls contraction against D2.
+    invL_s = jnp.asarray(rng.normal(size=(B, N, N)).astype(np.float32))
+
+    @jax.jit
+    def bwd_kinv_only(invL):
+        Kinv = jnp.einsum(
+            "bki,bkj->bij", invL, invL, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.sum(Kinv)
+
+    timed("bwd Kinv einsum (HIGHEST)", bwd_kinv_only, invL_s)
+
+    G_s = jnp.asarray(rng.normal(size=(B, N, N)).astype(np.float32))
+    DK_s = jnp.asarray(rng.normal(size=(B, N, N)).astype(np.float32))
+
+    @jax.jit
+    def bwd_dls_only(G, DK):
+        H = G * DK
+        return jnp.einsum(
+            "bij,ijk->bk", H, D2, precision=jax.lax.Precision.HIGHEST
+        ).sum()
+
+    timed("bwd H*einsum(D2) only", bwd_dls_only, G_s, DK_s)
     f_hi = _mm_vg(jax.lax.Precision.HIGHEST)
     f_lo = _mm_vg(jax.lax.Precision.HIGH)
     timed(f"matmul LML value+grad (HIGHEST, NB={NB})", f_hi, params, y)

@@ -62,6 +62,12 @@ class GPFitSpec:
     then only the best ``halving_keep`` restarts per PC continue for the
     remaining ``n_iters - halving_iters`` (most random restarts land in bad
     basins; no point polishing them). Set halving_keep=0 to disable.
+    Schedule choice is measured, not guessed: the CPU-x64 study
+    (scripts/probe_fit_quality.py, docs/fit_schedule_study.json, 12 PCs x
+    2 seeds at the production shape class) found keep=3 bit-equivalent to
+    keep=4 (max |dLML| 4e-6 nats) while every cheaper halving point or
+    iteration cut (h10/i45/i40 variants) loses 0.2-8 nats on some PC —
+    hence keep=3, and the 15/60 iteration split stays.
 
     ``trial_steps``: step sizes along the L-BFGS direction evaluated per
     iteration (in ONE widened batch — see :func:`_optimize_single`). The
@@ -82,7 +88,7 @@ class GPFitSpec:
     n_iters: int = struct.field(pytree_node=False, default=100)
     alpha_jitter: float = struct.field(pytree_node=False, default=1e-10)
     halving_iters: int = struct.field(pytree_node=False, default=15)
-    halving_keep: int = struct.field(pytree_node=False, default=4)
+    halving_keep: int = struct.field(pytree_node=False, default=3)
     trial_steps: tuple = struct.field(pytree_node=False, default=(1.0,))
     # LML implementation: "autodiff" = jnp.linalg.cholesky + AD backward
     # (robust host default); "matmul" = blocked MXU factorization with the
