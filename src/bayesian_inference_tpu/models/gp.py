@@ -117,13 +117,9 @@ def log_marginal_likelihood_matmul(
 def _lml_matmul_fwd(cfg, params, D2, y, alpha_jitter, precision=jax.lax.Precision.HIGHEST):
     from bayesian_inference_tpu.ops.blocked_cholesky import chol_inv_batched
 
-    from bayesian_inference_tpu.ops.gram import train_gram_and_dk_from_sqdiff
+    from bayesian_inference_tpu.ops.gram import train_gram_from_sqdiff
 
-    # DK = d(kernel)/d(scaled sqdist) is computed alongside K (shared
-    # sqrt/exp chain) and carried as a residual: recomputing it in the
-    # backward repeats the sq-einsum + transcendentals (~25 ms of ~124 ms
-    # at the production fit batch; probe_fit 2026-08-20).
-    K, DK = train_gram_and_dk_from_sqdiff(cfg, params, D2, alpha_jitter)
+    K = train_gram_from_sqdiff(cfg, params, D2, alpha_jitter)
     invL, half_logdet = chol_inv_batched(K[None], precision=precision)
     invL, half_logdet = invL[0], half_logdet[0]
     hi = precision
@@ -132,17 +128,18 @@ def _lml_matmul_fwd(cfg, params, D2, y, alpha_jitter, precision=jax.lax.Precisio
     )
     n = y.shape[0]
     lml = -0.5 * (y @ alpha) - half_logdet - 0.5 * n * _LOG_2PI
-    return lml, (params, D2, y, alpha, invL, DK)
+    return lml, (params, D2, y, alpha, invL)
 
 
 def _lml_matmul_bwd(cfg, precision, res, g):
-    params, D2, y, alpha, invL, DK = res
+    params, D2, y, alpha, invL = res
     hi = precision
     Kinv = jnp.einsum("ki,kj->ij", invL, invL, precision=hi)
     G = 0.5 * (alpha[:, None] * alpha[None, :] - Kinv)
 
     w = jnp.exp(-2.0 * params.log_length_scale)              # (d,) = 1/ls^2
-    H = G * DK
+    sq = jnp.einsum("ijk,k->ij", D2, w, precision=hi)
+    H = G * _dK_dsq(cfg, sq)
     d_log_ls = g * (-2.0) * w * jnp.einsum("ij,ijk->k", H, D2, precision=hi)
     zero = jnp.zeros((), G.dtype)
     d_log_noise = (

@@ -100,47 +100,6 @@ def train_gram_from_sqdiff(
     return K + diag * jnp.eye(D2.shape[0], dtype=K.dtype)
 
 
-def train_gram_and_dk_from_sqdiff(
-    cfg: KernelConfig, params: KernelParams, D2: jax.Array, alpha_jitter: float | jax.Array = 0.0
-) -> tuple[jax.Array, jax.Array]:
-    """Training Gram plus d(kernel)/d(scaled squared distance), sharing one
-    transcendental chain (one sqrt + one exp evaluate both).
-
-    The GP fit's closed-form LML gradient needs DK = d k/d sq elementwise
-    (models/gp._lml_matmul_bwd); recomputing it in the backward repeats the
-    sq-einsum + sqrt/exp chain (~25 ms of a ~124 ms value+grad iteration at
-    the production batch, probe_fit 2026-08-20), so the forward computes it
-    as a byproduct and stashes it as a residual. The kernel is a SUM kernel
-    (Matern/RBF + constant + noise*I), so the constant/noise terms do not
-    enter DK. Matches _dK_dsq including its sqrt guard.
-    """
-    ls = jnp.exp(params.log_length_scale)
-    sq = _sqdist_from_sqdiff(D2, ls)
-    if cfg.nu is None:
-        E = jnp.exp(-0.5 * sq)
-        K, DK = E, -0.5 * E
-    elif cfg.nu == 0.5:
-        d = jnp.sqrt(sq + 1e-36)
-        E = jnp.exp(-d)
-        K, DK = E, -E / (2.0 * d)
-    elif cfg.nu == 1.5:
-        t = jnp.sqrt(3.0) * jnp.sqrt(sq + 1e-36)
-        E = jnp.exp(-t)
-        K, DK = (1.0 + t) * E, -1.5 * E
-    elif cfg.nu == 2.5:
-        t = jnp.sqrt(5.0) * jnp.sqrt(sq + 1e-36)
-        E = jnp.exp(-t)
-        K, DK = (1.0 + t + t * t / 3.0) * E, -(5.0 / 6.0) * (1.0 + t) * E
-    else:
-        raise ValueError(f"Unsupported Matern nu={cfg.nu}")
-    if cfg.with_constant:
-        K = K + jnp.exp(params.log_constant)
-    diag = jnp.asarray(alpha_jitter, K.dtype)
-    if cfg.with_noise:
-        diag = diag + jnp.exp(params.log_noise)
-    return K + diag * jnp.eye(D2.shape[0], dtype=K.dtype), DK
-
-
 def matern_from_sqdist(sq: jax.Array, nu: float | None) -> jax.Array:
     """Covariance from squared scaled distance. nu=None selects RBF."""
     if nu is None:

@@ -181,33 +181,3 @@ def test_lml_matmul_precision_argument_threads_through_vjp():
     v_hi, _ = vg(params, jax.lax.Precision.HIGHEST)
     v_lo, _ = vg(params, jax.lax.Precision.HIGH)
     np.testing.assert_allclose(float(v_lo), float(v_hi), rtol=1e-6)
-
-
-def test_gram_and_dk_matches_separate_computation():
-    """train_gram_and_dk_from_sqdiff (one shared transcendental chain, used by
-    the matmul-LML forward to stash the gradient's dK residual) must agree
-    with train_gram_from_sqdiff and gp._dK_dsq computed independently, for
-    every kernel family and with/without the constant term."""
-    from bayesian_inference_tpu.models.gp import _dK_dsq
-    from bayesian_inference_tpu.ops.gram import (
-        KernelConfig,
-        KernelParams,
-        _sqdist_from_sqdiff,
-        pairwise_sqdiff,
-        train_gram_and_dk_from_sqdiff,
-        train_gram_from_sqdiff,
-    )
-
-    rng = np.random.default_rng(3)
-    X = jnp.asarray(rng.uniform(0, 1, (15, 4)))
-    D2 = pairwise_sqdiff(X)
-    params = KernelParams.create(rng.uniform(0.3, 2.0, 4), noise=0.2, constant=1.7)
-    for nu in (None, 0.5, 1.5, 2.5):
-        for with_constant in (False, True):
-            cfg = KernelConfig(nu=nu, with_noise=True, with_constant=with_constant)
-            K_ref = train_gram_from_sqdiff(cfg, params, D2, 1e-8)
-            sq = _sqdist_from_sqdiff(D2, jnp.exp(params.log_length_scale))
-            DK_ref = _dK_dsq(cfg, sq)
-            K, DK = train_gram_and_dk_from_sqdiff(cfg, params, D2, 1e-8)
-            np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref), rtol=1e-14)
-            np.testing.assert_allclose(np.asarray(DK), np.asarray(DK_ref), rtol=1e-14)
