@@ -40,7 +40,10 @@ from bayesian_inference_tpu.ops.gram import KernelConfig
 DATA = REPO / "tests" / "test_data"
 N_SEEDS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 K_PC = 12
-N_RESTARTS = 21
+# Default was 21 for the round-5 single-rung study; the multi-rung study runs
+# at the PRODUCTION restart count so absolute keep values transfer directly
+# (keeping 16 of 52 is a different selection problem than 16 of 22).
+N_RESTARTS = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 
 Y = obs_io.predictions_matrix_from_h5(str(DATA), "observables.h5")
 X = np.asarray(obs_io.design_array_from_h5(str(DATA), "observables.h5"))
@@ -53,21 +56,29 @@ base_spec = gp_fit.spec_from_reference_config(
     n_restarts=N_RESTARTS, n_iters=60, alpha_jitter=1e-6,
 )
 
-# (label, overrides) — n_iters=total, halving at halving_iters, keep survivors
+# (label, overrides) — n_iters=total, halving at halving_iters, keep survivors.
+# Round-5 phase 2 (multi-rung study, production R): the single-rung study
+# (docs/fit_schedule_study.json, R=21) fixed keep=3 and found the 15-iter
+# exploration resists iteration cuts when the rung prunes to the FINAL pool;
+# these candidates instead insert a GENTLE early rung (keep 12-20 of 51 —
+# basin diversity retained) so iters 7-15 run on a third of the batch.
 VARIANTS = [
-    ("base_h15_k4_i60", {}),
-    ("h15_k2_i60", {"halving_keep": 2}),
-    ("h15_k3_i60", {"halving_keep": 3}),
-    ("h10_k4_i60", {"halving_iters": 10}),
-    ("h15_k4_i45", {"n_iters": 45}),
-    ("h10_k3_i40", {"halving_iters": 10, "halving_keep": 3, "n_iters": 40}),
-    ("h12_k3_i45", {"halving_iters": 12, "halving_keep": 3, "n_iters": 45}),
+    ("base_h15_k3_i60", {}),
+    ("mr_h8k16_h7k3", {"halving_schedule": ((8, 16), (7, 3))}),
+    ("mr_h6k16_h9k3", {"halving_schedule": ((6, 16), (9, 3))}),
+    ("mr_h5k12_h10k3", {"halving_schedule": ((5, 12), (10, 3))}),
+    ("mr_h4k20_h6k8_h5k3", {"halving_schedule": ((4, 20), (6, 8), (5, 3))}),
 ]
 
 # Production-batch relative cost (R=51, k=41, baseline schedule)
-def prod_cost(halving_iters=15, halving_keep=4, n_iters=60, **_):
+def prod_cost(halving_iters=15, halving_keep=3, n_iters=60, halving_schedule=(), **_):
     R, k = 51, 41
-    return k * R * halving_iters + k * halving_keep * (n_iters - halving_iters)
+    schedule = tuple(halving_schedule) or ((halving_iters, halving_keep),)
+    cost, pool, used = 0, R, 0
+    for it, keep in schedule:
+        cost += pool * it
+        pool, used = keep, used + it
+    return k * (cost + pool * (n_iters - used))
 
 base_cost = prod_cost()
 
@@ -90,7 +101,7 @@ report = {
               "n_restarts": N_RESTARTS, "seeds": N_SEEDS},
     "variants": {
         label: {
-            "cost_vs_base": round(prod_cost(**{**dict(halving_iters=15, halving_keep=4, n_iters=60), **ov}) / base_cost, 3),
+            "cost_vs_base": round(prod_cost(**{**dict(halving_iters=15, halving_keep=3, n_iters=60), **ov}) / base_cost, 3),
             "max_abs_dlml": round(float(np.abs(np.stack(results[label])).max()), 6),
             "min_dlml": round(float(np.stack(results[label]).min()), 6),
         }

@@ -276,17 +276,21 @@ def run_mcmc(
         hdf5.write_dict_to_h5(output_dict, config.mcmc_output_dir, "mcmc.h5", verbose=True)
     timings["write"] = _time.perf_counter() - _t
 
-    sampler_state = {
-        "final_coords": np.asarray(out3["coords"]),
-        "final_log_prob": np.asarray(out3["final_log_prob"]),
-        "n_walkers": config.n_walkers,
-        "ndim": ndim,
-        "seed": seed,
-        "mode": mode,
-    }
+    # emcee-API-compatible archive (reference pickles the whole sampler,
+    # mcmc.py:127-132; get_chain/get_log_prob here serve lazily from the
+    # mcmc.h5 written above instead of duplicating the chain into the pickle).
+    from bayesian_inference_tpu.mcmc.sampler_archive import EnsembleSamplerArchive
+
+    archive = EnsembleSamplerArchive(
+        final_coords=np.asarray(out3["coords"]),
+        final_log_prob=np.asarray(out3["final_log_prob"]),
+        acceptance_fraction=acceptance_fraction,
+        autocorrelation_time=output_dict.get("autocorrelation_time"),
+        seed=seed,
+        mode=mode,
+    )
     os.makedirs(config.mcmc_output_dir, exist_ok=True)
-    with open(config.sampler_outputfile, "wb") as f:
-        pickle.dump(sampler_state, f)
+    archive.save(config.sampler_outputfile)
 
     # Per-phase wall-clock (burn / production / autocorr / write) for callers
     # that report perf breakdowns; added AFTER the h5 write so the mcmc.h5

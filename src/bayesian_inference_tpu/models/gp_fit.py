@@ -89,6 +89,14 @@ class GPFitSpec:
     alpha_jitter: float = struct.field(pytree_node=False, default=1e-10)
     halving_iters: int = struct.field(pytree_node=False, default=15)
     halving_keep: int = struct.field(pytree_node=False, default=3)
+    # Multi-rung successive halving: ((iters_1, keep_1), (iters_2, keep_2), ...)
+    # — run iters_1 L-BFGS iterations on the full restart pool, keep the best
+    # keep_1 per PC, run iters_2 more, keep keep_2, ...; the remaining
+    # n_iters - sum(iters_r) polish at full precision. Empty = derive a single
+    # rung from halving_iters/halving_keep. The production default lives in
+    # spec_from_reference_config and is study-gated like the single-rung
+    # schedule (docs/fit_schedule_study.json).
+    halving_schedule: tuple = struct.field(pytree_node=False, default=())
     trial_steps: tuple = struct.field(pytree_node=False, default=(1.0,))
     # LML implementation: "autodiff" = jnp.linalg.cholesky + AD backward
     # (robust host default); "matmul" = blocked MXU factorization with the
@@ -230,14 +238,27 @@ def _fit_gps_impl(
     u0 = jnp.concatenate([jnp.broadcast_to(u0_first, (k, 1, P)), u0_rand], axis=1)  # (k, R, P)
 
     # Flatten (PC, restart) -> instances so the batch shards evenly over a mesh.
-    halve = 0 < spec.halving_keep < R and spec.n_iters > spec.halving_iters
-    iters1 = spec.halving_iters if halve else spec.n_iters
+    # Halving schedule: explicit multi-rung tuple, else a single rung from
+    # halving_iters/halving_keep (the legacy spelling), else no halving.
+    schedule = tuple(spec.halving_schedule)
+    if not schedule and 0 < spec.halving_keep < R and spec.n_iters > spec.halving_iters:
+        schedule = ((spec.halving_iters, spec.halving_keep),)
+    # Drop degenerate rungs (keep >= current pool never prunes).
+    pruned, pool = [], R
+    for rung_iters, rung_keep in schedule:
+        if 0 < rung_keep < pool:
+            pruned.append((int(rung_iters), int(rung_keep)))
+            pool = int(rung_keep)
+    schedule = tuple(pruned)
+    explore_iters = sum(it for it, _ in schedule)
+    if schedule and explore_iters >= spec.n_iters:
+        raise ValueError(
+            f"halving schedule spends {explore_iters} iters, >= n_iters={spec.n_iters}"
+        )
 
     D2 = pairwise_sqdiff(X)  # (N, N, d), shared by every fit instance
 
-    u0_flat = shard_leading_axis(u0.reshape(k * R, P), mesh)
-    y_flat = shard_leading_axis(jnp.repeat(Y_pc.T, R, axis=0), mesh)  # (k*R, N)
-    # Exploration stage: basin selection tolerates reduced matmul precision
+    # Exploration rungs: basin selection tolerates reduced matmul precision
     # (~6x cheaper on the MXU); the survivors are re-polished at full float32.
     # The gram einsums follow the ambient default; the factorization panels +
     # LML/grad einsums run at spec.explore_precision (a STATIC argument so it
@@ -246,25 +267,40 @@ def _fit_gps_impl(
     from bayesian_inference_tpu.ops.blocked_cholesky import precision_from_name
 
     explore_p = precision_from_name(spec.explore_precision)
-    with jax.default_matmul_precision("default"):
-        u1_flat, v1_flat = jax.vmap(
-            lambda u, y: _optimize_single(u, spec, D2, y, iters1, precision=explore_p)
-        )(u0_flat, y_flat)
-
-    if halve:
-        keep = spec.halving_keep
-        u1 = u1_flat.reshape(k, R, P)
-        v1 = v1_flat.reshape(k, R)
-        top = jnp.argsort(v1, axis=1)[:, :keep]                      # (k, keep)
-        u_sel = jnp.take_along_axis(u1, top[:, :, None], axis=1)     # (k, keep, P)
-        u2_flat = shard_leading_axis(u_sel.reshape(k * keep, P), mesh)
-        y2_flat = shard_leading_axis(jnp.repeat(Y_pc.T, keep, axis=0), mesh)
+    pool_u, pool = u0, R  # (k, pool, P)
+    if schedule:
+        with jax.default_matmul_precision("default"):
+            for rung_iters, rung_keep in schedule:
+                u_flat = shard_leading_axis(pool_u.reshape(k * pool, P), mesh)
+                y_flat = shard_leading_axis(jnp.repeat(Y_pc.T, pool, axis=0), mesh)
+                u1, v1 = jax.vmap(
+                    lambda u, y: _optimize_single(
+                        u, spec, D2, y, rung_iters, precision=explore_p
+                    )
+                )(u_flat, y_flat)
+                v1 = v1.reshape(k, pool)
+                top = jnp.argsort(v1, axis=1)[:, :rung_keep]             # (k, keep)
+                pool_u = jnp.take_along_axis(
+                    u1.reshape(k, pool, P), top[:, :, None], axis=1
+                )                                                        # (k, keep, P)
+                pool = rung_keep
+        # Polish: remaining iterations at full float32 on the survivors.
+        u2_flat = shard_leading_axis(pool_u.reshape(k * pool, P), mesh)
+        y2_flat = shard_leading_axis(jnp.repeat(Y_pc.T, pool, axis=0), mesh)
         u2, v2 = jax.vmap(
-            lambda u, y: _optimize_single(u, spec, D2, y, spec.n_iters - iters1)
+            lambda u, y: _optimize_single(u, spec, D2, y, spec.n_iters - explore_iters)
         )(u2_flat, y2_flat)
-        best_u = u2.reshape(k, keep, P)
-        best_v = v2.reshape(k, keep)
+        best_u = u2.reshape(k, pool, P)
+        best_v = v2.reshape(k, pool)
     else:
+        u0_flat = shard_leading_axis(u0.reshape(k * R, P), mesh)
+        y_flat = shard_leading_axis(jnp.repeat(Y_pc.T, R, axis=0), mesh)  # (k*R, N)
+        with jax.default_matmul_precision("default"):
+            u1_flat, v1_flat = jax.vmap(
+                lambda u, y: _optimize_single(
+                    u, spec, D2, y, spec.n_iters, precision=explore_p
+                )
+            )(u0_flat, y_flat)
         best_u = u1_flat.reshape(k, R, P)
         best_v = v1_flat.reshape(k, R)
 

@@ -181,3 +181,41 @@ def test_lml_matmul_precision_argument_threads_through_vjp():
     v_hi, _ = vg(params, jax.lax.Precision.HIGHEST)
     v_lo, _ = vg(params, jax.lax.Precision.HIGH)
     np.testing.assert_allclose(float(v_lo), float(v_hi), rtol=1e-6)
+
+
+def test_multirung_halving_schedule(design_and_pcs):
+    """Multi-rung successive halving (halving_schedule) must (a) prune
+    degenerate rungs — keep >= pool is bit-identical to the no-halving run,
+    (b) reject schedules that exhaust n_iters, and (c) reach the same best
+    optimum as the single-rung schedule on a deterministic small problem
+    (CPU x64: run-to-run exact)."""
+    X, Y_pca = design_and_pcs
+    X, y = X[:60], Y_pca[:60, :2]
+    cfg = KernelConfig(nu=1.5, with_noise=True)
+    spec = gp_fit.spec_from_reference_config(
+        cfg, param_min=X.min(axis=0), param_max=X.max(axis=0),
+        n_restarts=6, n_iters=24, alpha_jitter=1e-10,
+    )
+    key = jax.random.key(0)
+    args = (jnp.asarray(X), jnp.asarray(y), key)
+
+    # (a) keep >= pool prunes to nothing -> identical to halving disabled
+    no_halve = gp_fit.fit_gps(spec.replace(halving_keep=0), *args)
+    degenerate = gp_fit.fit_gps(spec.replace(halving_schedule=((5, 99),)), *args)
+    np.testing.assert_array_equal(np.asarray(no_halve.lml), np.asarray(degenerate.lml))
+
+    # (b) schedule spending >= n_iters is an error
+    try:
+        gp_fit.fit_gps(spec.replace(halving_schedule=((20, 4), (10, 2))), *args)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+    # (c) gentle two-rung schedule matches the single-rung optimum
+    single = gp_fit.fit_gps(spec.replace(halving_iters=8, halving_keep=2), *args)
+    multi = gp_fit.fit_gps(
+        spec.replace(halving_schedule=((4, 4), (4, 2))), *args
+    )
+    np.testing.assert_allclose(
+        np.asarray(multi.lml), np.asarray(single.lml), rtol=0, atol=0.5
+    )

@@ -36,6 +36,28 @@ def test_steer_end_to_end(tmp_path):
     assert (run_dir / "emulation_group_default_group.pkl").exists()
     assert (run_dir / "mcmc.h5").exists()
     assert (run_dir / "mcmc_sampler.pkl").exists()
+    # The sampler pickle serves emcee's reader API (reference mcmc.py:127-132
+    # pickles the whole sampler "e.g. sampler.get_chain(discard=..., thin=...,
+    # flat=True)"); chain/log_prob come lazily from the adjacent mcmc.h5.
+    from bayesian_inference_tpu.io import hdf5
+    from bayesian_inference_tpu.mcmc.sampler_archive import EnsembleSamplerArchive
+
+    sampler = EnsembleSamplerArchive.load(str(run_dir / "mcmc_sampler.pkl"))
+    results = hdf5.read_dict_from_h5(str(run_dir), "mcmc.h5", verbose=False)
+    np.testing.assert_array_equal(sampler.get_chain(), results["chain"])
+    np.testing.assert_array_equal(
+        sampler.get_chain(discard=10, thin=7, flat=True),
+        results["chain"][10::7].reshape(-1, results["chain"].shape[-1]),
+    )
+    np.testing.assert_array_equal(sampler.get_log_prob(), results["log_prob"])
+    assert sampler.chain.shape == (
+        results["chain"].shape[1], results["chain"].shape[0], results["chain"].shape[2],
+    )
+    assert sampler.flatchain.shape[0] == results["chain"].shape[0] * results["chain"].shape[1]
+    np.testing.assert_array_equal(
+        sampler.acceptance_fraction, results["acceptance_fraction"]
+    )
+    assert sampler.get_last_sample()[0].shape == results["chain"].shape[1:]
     assert (Path(cfg["output_dir"]) / "steer_analysis_config.yaml").exists()
 
     # plots
