@@ -181,6 +181,27 @@ if _os.environ.get("BIQ_PROBE_FIT_MM", ""):
 
     timed("bwd Kinv einsum (HIGHEST)", bwd_kinv_only, invL_s)
 
+    # Alternative formulations of the same contraction — is the einsum
+    # spelling (not the arithmetic) the cost? bki,bkj->bij at B=2091 N=200
+    # is 33 GFLOP; 24.8 ms = 1.3 TFLOP/s, ~2% of the chip.
+    @jax.jit
+    def bwd_kinv_matmul(invL):
+        Kinv = jnp.matmul(
+            jnp.swapaxes(invL, -1, -2), invL, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.sum(Kinv)
+
+    timed("bwd Kinv batched matmul (HIGHEST)", bwd_kinv_matmul, invL_s)
+
+    for prec in ("HIGH", "DEFAULT"):
+        p = getattr(jax.lax.Precision, prec)
+
+        @jax.jit
+        def bwd_kinv_p(invL, p=p):
+            return jnp.sum(jnp.einsum("bki,bkj->bij", invL, invL, precision=p))
+
+        timed(f"bwd Kinv einsum ({prec})", bwd_kinv_p, invL_s)
+
     G_s = jnp.asarray(rng.normal(size=(B, N, N)).astype(np.float32))
     DK_s = jnp.asarray(rng.normal(size=(B, N, N)).astype(np.float32))
 
@@ -192,6 +213,71 @@ if _os.environ.get("BIQ_PROBE_FIT_MM", ""):
         ).sum()
 
     timed("bwd H*einsum(D2) only", bwd_dls_only, G_s, DK_s)
+
+    # Same contraction as one (B, N*N) x (N*N, d) dot — sum_ij H_ij D2_ijk
+    # is a plain matmul over the flattened ij axis; does spelling it that
+    # way beat the bij,ijk->bk einsum lowering?
+    @jax.jit
+    def bwd_dls_reshaped(G, DK):
+        H = (G * DK).reshape(G.shape[0], -1)                  # (B, N*N)
+        D2f = D2.reshape(-1, D2.shape[-1])                    # (N*N, d)
+        return jnp.dot(H, D2f, precision=jax.lax.Precision.HIGHEST).sum()
+
+    timed("bwd H dot reshaped (HIGHEST)", bwd_dls_reshaped, G_s, DK_s)
+
+    @jax.jit
+    def bwd_dls_default(G, DK):
+        H = G * DK
+        return jnp.einsum(
+            "bij,ijk->bk", H, D2, precision=jax.lax.Precision.DEFAULT
+        ).sum()
+
+    timed("bwd H*einsum(D2) (DEFAULT)", bwd_dls_default, G_s, DK_s)
+    # Scan-amortized slope probes: the tunneled runtime has a ~24-25 ms
+    # per-program-execution dispatch floor (every standalone piece above
+    # reads 24-25 ms no matter its size/precision — the floor, not the op).
+    # True in-program per-iteration cost = (T(k2) - T(k1)) / (k2 - k1) with
+    # the iteration repeated inside ONE program via lax.scan, params
+    # perturbed per step to defeat CSE.
+    def _scan_vg(n_rep, value_only=False, precision=jax.lax.Precision.HIGHEST):
+        def obj(p):
+            def one(lls, ln, yy):
+                par = KernelParams(log_length_scale=lls, log_noise=ln,
+                                   log_constant=jnp.zeros((), jnp.float32))
+                return log_marginal_likelihood_matmul(
+                    cfg, par, D2, yy, 1e-8, precision=precision
+                )
+            return jnp.sum(jax.vmap(one)(p.log_length_scale, p.log_noise, y))
+
+        f = obj if value_only else (lambda p: jax.value_and_grad(obj)(p)[1].log_noise.sum())
+
+        @jax.jit
+        def run(params):
+            def step(carry, i):
+                eps = 1e-4 * (i + 1).astype(jnp.float32)
+                p = KernelParams(
+                    log_length_scale=params.log_length_scale + eps,
+                    log_noise=params.log_noise + eps,
+                    log_constant=params.log_constant,
+                )
+                return carry + f(p), None
+
+            out, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(n_rep))
+            return out
+
+        return run
+
+    for tag, value_only in (("value+grad", False), ("value", True)):
+        t2 = timed(f"scan x2 {tag}", _scan_vg(2, value_only), params)
+        t8 = timed(f"scan x8 {tag}", _scan_vg(8, value_only), params)
+        print(f"slope {tag}: {(t8 - t2) / 6 * 1000:.1f} ms/iter "
+              f"(x2 {t2*1000:.0f} ms, x8 {t8*1000:.0f} ms)")
+    for prec in ("HIGH", "DEFAULT"):
+        p = getattr(jax.lax.Precision, prec)
+        t2 = timed(f"scan x2 vg {prec}", _scan_vg(2, precision=p), params)
+        t8 = timed(f"scan x8 vg {prec}", _scan_vg(8, precision=p), params)
+        print(f"slope value+grad ({prec}): {(t8 - t2) / 6 * 1000:.1f} ms/iter")
+
     f_hi = _mm_vg(jax.lax.Precision.HIGHEST)
     f_lo = _mm_vg(jax.lax.Precision.HIGH)
     timed(f"matmul LML value+grad (HIGHEST, NB={NB})", f_hi, params, y)
@@ -208,3 +294,47 @@ if _os.environ.get("BIQ_PROBE_FIT_MM", ""):
         f"median {np.median(np.abs((gl - gh) / denom)):.2e}",
         file=sys.stderr,
     )
+
+# --- end-to-end fit_gps at the bench's production shape (BIQ_PROBE_FIT_E2E=1):
+# isolates the true device cost of the whole fit phase (one jit) from the
+# bench's surrounding plumbing (table prep, spec build, posterior download).
+if _os.environ.get("BIQ_PROBE_FIT_E2E", ""):
+    from bayesian_inference_tpu.models import gp_fit
+
+    K_PC = int(_os.environ.get("BIQ_PROBE_K_PC", "41"))
+    spec = gp_fit.spec_from_reference_config(
+        cfg, param_min=np.zeros(d), param_max=np.ones(d),
+        n_restarts=50, n_iters=60, alpha_jitter=1e-8, dtype=jnp.float32,
+        lml_impl="matmul",
+    )
+    Xj = jnp.asarray(X)
+    Y_pc = jnp.asarray(rng.normal(size=(N, K_PC)).astype(np.float32))
+    key = jax.random.key(0)
+
+    def run_fit():
+        posts = gp_fit.fit_gps(spec, Xj, Y_pc, key)
+        # bench-realistic: materialize the whole posterior on host
+        return jax.tree.map(np.asarray, posts)
+
+    t0 = time.perf_counter(); run_fit(); print(
+        f"fit_gps first call (compile or cache load + exec): {time.perf_counter()-t0:.2f}s",
+        file=sys.stderr)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter(); run_fit(); ts.append(time.perf_counter() - t0)
+    print(f"fit_gps warm e2e (k={K_PC}, R=51, i60): median {np.median(ts):.3f}s "
+          f"(reps {' '.join(f'{t:.3f}' for t in ts)})", file=sys.stderr)
+    # device-only portion: skip the host download, one scalar out
+    @jax.jit
+    def fit_scalar(spec, Xj, Y_pc, key):
+        posts = gp_fit._fit_gps_impl(spec, Xj, Y_pc, key)
+        return jax.tree.map(lambda a: jnp.sum(a), posts)
+
+    def run_scalarized():
+        return jax.tree.map(np.asarray, fit_scalar(spec, Xj, Y_pc, key))
+    run_scalarized()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter(); run_scalarized(); ts.append(time.perf_counter() - t0)
+    print(f"fit_gps device-only (scalarized outputs): median {np.median(ts):.3f}s "
+          f"(reps {' '.join(f'{t:.3f}' for t in ts)})", file=sys.stderr)

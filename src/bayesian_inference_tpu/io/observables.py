@@ -91,9 +91,17 @@ def predictions_matrix_from_h5(
     filename: str,
     validation_set: bool = False,
     observable_filter: ObservableFilter | None = None,
+    observables: dict[str, Any] | None = None,
 ) -> npt.NDArray[np.float64]:
-    """Stack per-observable prediction bins into one (n_design, n_features) matrix."""
-    observables = read_dict_from_h5(output_dir, filename, verbose=False)
+    """Stack per-observable prediction bins into one (n_design, n_features) matrix.
+
+    Pass a pre-read ``observables`` dict to skip the full-file h5 read —
+    callers assembling several filtered matrices from one file (emulation
+    groups) pay the read once instead of per group (~0.2 s/read at
+    production width on this host).
+    """
+    if observables is None:
+        observables = read_dict_from_h5(output_dir, filename, verbose=False)
     labels = sorted_observable_list_from_dict(observables, observable_filter=observable_filter)
     key = "Prediction_validation" if validation_set else "Prediction"
     blocks = [np.atleast_2d(observables[key][lbl]["y"]).T for lbl in labels]

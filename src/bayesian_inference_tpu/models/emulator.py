@@ -55,16 +55,29 @@ def _fit_gate_open(config: EmulationGroupConfig) -> bool:
     return True
 
 
-def _prepare_group(config: EmulationGroupConfig, n_opt_iters: int) -> dict[str, Any]:
-    """Host-side setup for one group: prediction matrix, PCA, design, fit spec."""
+def _prepare_group(
+    config: EmulationGroupConfig, n_opt_iters: int, observables: dict[str, Any] | None = None
+) -> dict[str, Any]:
+    """Host-side setup for one group: prediction matrix, PCA, design, fit spec.
+
+    ``observables``: optional pre-read h5 dict; ``fit_emulators`` loads each
+    distinct observables file ONCE and shares it across groups (full-file h5
+    reads are ~0.2 s each at production width — per-group re-reads were the
+    largest piece of the bench fit phase).
+    """
+    if observables is None:
+        from bayesian_inference_tpu.io.hdf5 import read_dict_from_h5
+
+        observables = read_dict_from_h5(config.output_dir, config.observables_filename, verbose=False)
     Y = obs_io.predictions_matrix_from_h5(
-        config.output_dir, filename=config.observables_filename, observable_filter=config.observable_filter
+        config.output_dir, filename=config.observables_filename,
+        observable_filter=config.observable_filter, observables=observables,
     )
     state, Y_pca = pca_mod.fit_pca(Y, max_n_components=config.max_n_components_to_calculate)
     n_pc = config.n_pc
     evr = np.asarray(state.explained_variance_ratio)
     logger.info(f"Variance explained by first {n_pc} components: {evr[:n_pc].sum()}")
-    design = obs_io.design_array_from_h5(config.output_dir, filename=config.observables_filename)
+    design = observables["Design"]
     return {
         "Y": Y,
         "state": state,
@@ -163,12 +176,22 @@ def fit_emulators(emulation_config: EmulationConfig, seed: int = 0, n_opt_iters:
     device launch — one XLA compile and one fully-batched optimization instead
     of one per group.
     """
+    import time as _time
+
     pending: dict[str, dict[str, Any]] = {}
+    _t0 = _time.perf_counter()
+    obs_cache: dict[tuple[str, str], dict[str, Any]] = {}
     for name, group_config in emulation_config.emulation_groups_config.items():
         if _fit_gate_open(group_config):
-            pending[name] = _prepare_group(group_config, n_opt_iters)
+            fkey = (group_config.output_dir, group_config.observables_filename)
+            if fkey not in obs_cache:
+                from bayesian_inference_tpu.io.hdf5 import read_dict_from_h5
+
+                obs_cache[fkey] = read_dict_from_h5(*fkey, verbose=False)
+            pending[name] = _prepare_group(group_config, n_opt_iters, observables=obs_cache[fkey])
     if not pending:
         return
+    logger.info(f"fit stage: ingest+PCA prep {_time.perf_counter() - _t0:.2f}s")
 
     names = list(pending)
     specs = [pending[n]["spec"] for n in names]
@@ -184,10 +207,13 @@ def fit_emulators(emulation_config: EmulationConfig, seed: int = 0, n_opt_iters:
             f"Fused GP fit: {Y_all.shape[1]} PCs across {len(names)} groups x "
             f"{spec.n_restarts + 1} restarts (design: {design.shape})..."
         )
+        _t0 = _time.perf_counter()
         posts_all = gp_fit.fit_gps(spec, design, Y_all, jax.random.key(seed))
         # One device->host transfer, then pure-numpy slicing (eager device
         # slices would compile one tiny program per offset on TPU).
         posts_all = jax.tree.map(np.asarray, posts_all)
+        logger.info(f"fit stage: fused fit_gps exec+download {_time.perf_counter() - _t0:.2f}s")
+        _t0 = _time.perf_counter()
         offset = 0
         for n in names:
             k = pending[n]["n_pc"]
@@ -196,6 +222,7 @@ def fit_emulators(emulation_config: EmulationConfig, seed: int = 0, n_opt_iters:
             artifact = _artifact_from_fit(emulation_config.emulation_groups_config[n], pending[n], posts)
             write_emulators(emulation_config.emulation_groups_config[n], artifact)
             offset += k
+        logger.info(f"fit stage: artifacts+writes {_time.perf_counter() - _t0:.2f}s")
     else:
         for n in names:
             prep = pending[n]
