@@ -645,18 +645,30 @@ def run_closure_batch(
 
     _prefetch(0)
     hedge = _HedgedFetcher()
+    t_prev_arr = _time.perf_counter()
     for i_chunk in range(len(sizes)):
         _dispatch_upto(i_chunk + window)  # keep the in-flight window full
         _prefetch(i_chunk)
         _prefetch(i_chunk + 1)
         n, ys, qc, ql, snap = pending[i_chunk]
         f_chain, f_logp = inflight.pop(i_chunk)
+        nb_chain = _nbytes(ys[0] if qc is None else qc)
+        nb_logp = _nbytes(ys[1] if ql is None else ql)
+        fired0 = hedge.fired
         raw = hedge.result(
-            f_chain, ys[0] if qc is None else qc, "closure chain slab"
+            f_chain, ys[0] if qc is None else qc, "closure chain slab",
+            nbytes=nb_chain,
         )  # (n, P+pad, W, d)
         chain_slab = raw if quant is None else quant.dequantize(raw)
-        raw_lp = hedge.result(f_logp, ys[1] if ql is None else ql, "closure log-prob slab")
+        raw_lp = hedge.result(
+            f_logp, ys[1] if ql is None else ql, "closure log-prob slab",
+            nbytes=nb_logp,
+        )
         logp_slab = raw_lp if quant is None else quant.dequantize_logp(raw_lp)
+        t_arr = _time.perf_counter()
+        if hedge.fired == fired0:
+            hedge.observe(nb_chain + nb_logp, t_arr - t_prev_arr)
+        t_prev_arr = t_arr
         if not keep_slabs:
             # drop the device handles: the backend frees the chunk's HBM and
             # the window admits the next dispatch
@@ -946,6 +958,16 @@ def _fetch(buf):
     return np.asarray(buf)
 
 
+def _nbytes(buf) -> int:
+    """Transfer size of a device buffer (or tuple of buffers) in bytes."""
+    try:
+        if isinstance(buf, tuple):
+            return sum(_nbytes(b) for b in buf)
+        return int(buf.size) * int(np.dtype(buf.dtype).itemsize)
+    except Exception:
+        return 0
+
+
 class _HedgedFetcher:
     """Tail-latency hedge for device->host transfers through the tunnel.
 
@@ -959,6 +981,19 @@ class _HedgedFetcher:
     a fresh RPC path. During genuinely slow (not stalled) windows the hedge
     duplicates at most one in-flight chunk (~25% extra bytes, bounded);
     BIQ_FETCH_HEDGE_S tunes the deadline (0 disables).
+
+    The flat deadline is also a SIZE-AWARE adaptive one: the consumer feeds
+    completed chunk arrivals to ``observe(nbytes, seconds)`` and passes each
+    fetch's byte count to ``result(..., nbytes=)``; once a link rate is
+    learned, a pending transfer hedges after
+    ``BIQ_FETCH_HEDGE_FACTOR x expected_time`` (clamped to
+    [BIQ_FETCH_HEDGE_MIN_S, BIQ_FETCH_HEDGE_S]) instead of the flat cap —
+    the measured stall mode is 5-15 s per-RPC (NOTES.md), well under the
+    45 s flat deadline. Arrival intervals that include device-execution wait
+    only UNDER-estimate the rate, which lengthens deadlines (conservative);
+    chunks rescued by a fired hedge are not fed back (a stall would poison
+    the rate estimate). BIQ_FETCH_HEDGE_MIN_S=45 (= the cap) effectively
+    reverts to the flat behavior.
     """
 
     def __init__(self, hedge_s: float | None = None, deadline_s: float | None = None):
@@ -974,26 +1009,50 @@ class _HedgedFetcher:
                 deadline_s = max(20.0 * hedge_s, 600.0)
         self.hedge_s = hedge_s
         self.deadline_s = deadline_s
+        self.min_s = float(os.environ.get("BIQ_FETCH_HEDGE_MIN_S", "5"))
+        self.factor = float(os.environ.get("BIQ_FETCH_HEDGE_FACTOR", "4"))
+        self.fired = 0  # hedges fired (consumers use it to gate observe())
+        self._rate_Bps: float | None = None
         self._pool = None
 
-    def result(self, fut, buf, label: str):
+    def observe(self, nbytes: int, seconds: float) -> None:
+        """Feed one completed transfer's size and arrival interval (EWMA)."""
+        if nbytes <= 0 or seconds <= 1e-3:
+            return
+        rate = nbytes / seconds
+        self._rate_Bps = (
+            rate if self._rate_Bps is None else 0.5 * self._rate_Bps + 0.5 * rate
+        )
+
+    def deadline_for(self, nbytes: int | None) -> float:
+        """Hedge deadline for a transfer of ``nbytes`` (flat cap until a
+        link rate has been observed)."""
+        if self.hedge_s <= 0 or not nbytes or self._rate_Bps is None:
+            return self.hedge_s
+        expected = nbytes / self._rate_Bps
+        return min(self.hedge_s, max(self.min_s, self.factor * expected + 1.0))
+
+    def result(self, fut, buf, label: str, nbytes: int | None = None):
         import concurrent.futures as cf
         import time as _t
 
         if self.hedge_s <= 0:
             return fut.result()
         t0 = _t.monotonic()
+        t_hedge = self.deadline_for(nbytes)
         pending = set()
         try:
-            return fut.result(timeout=self.hedge_s)
+            return fut.result(timeout=t_hedge)
         except cf.TimeoutError:
             pending.add(fut)
+            self.fired += 1
             logger.warning(
-                f"{label} transfer stalled for {self.hedge_s:.0f}s; racing a second transfer"
+                f"{label} transfer stalled for {t_hedge:.0f}s; racing a second transfer"
             )
         except Exception as e:
             # A broken-tunnel RPC error on the primary is the same flake the
             # hedge exists for — retry once from a fresh thread before giving up.
+            self.fired += 1  # not a clean rate sample either
             logger.warning(
                 f"{label} transfer failed ({type(e).__name__}); retrying from a fresh thread"
             )
@@ -1309,15 +1368,29 @@ def _run_production(
     trace_sum = float(acc_offset.mean())  # sum of per-step mean acceptance so far
     hedge = _HedgedFetcher()
     chunk_done: list[float] = []
+    t_prev_arr = _time.perf_counter()
     for n, f_chain, f_logp, f_trace, ys, qc, ql, snap in fetches:
-        raw = hedge.result(f_chain, ys[0] if qc is None else qc, "chain chunk")
+        nb_chain = _nbytes(ys[0] if qc is None else qc)
+        nb_logp = _nbytes(ys[1] if ql is None else ql)
+        fired0 = hedge.fired
+        raw = hedge.result(
+            f_chain, ys[0] if qc is None else qc, "chain chunk", nbytes=nb_chain
+        )
         chains.append(raw if quant is None else quant.dequantize(raw))
-        raw_lp = hedge.result(f_logp, ys[1] if ql is None else ql, "log-prob chunk")
+        raw_lp = hedge.result(
+            f_logp, ys[1] if ql is None else ql, "log-prob chunk", nbytes=nb_logp
+        )
         logps.append(raw_lp if quant is None else quant.dequantize_logp(raw_lp))
+        t_arr = _time.perf_counter()
+        if hedge.fired == fired0:
+            # clean arrival: feed the adaptive hedge's link-rate estimate
+            # (interval may include device-exec wait -> conservative)
+            hedge.observe(nb_chain + nb_logp, t_arr - t_prev_arr)
+        t_prev_arr = t_arr
         hdf5.append_time_series(
             out_dir, "mcmc.h5", {"chain": chains[-1], "log_prob": logps[-1]}
         )
-        tr = hedge.result(f_trace, ys[2], "acceptance trace")
+        tr = hedge.result(f_trace, ys[2], "acceptance trace", nbytes=_nbytes(ys[2]))
         _log_acceptance_cadence(config, tr, offset=steps_done, prior_sum=trace_sum)
         trace_sum += float(tr.sum(dtype=np.float64))
         steps_done += n

@@ -3,6 +3,7 @@ likelihood parity vs the reference formula, and runner integration."""
 
 import numpy as np
 import os
+import time
 import pytest
 import jax
 import jax.numpy as jnp
@@ -756,6 +757,62 @@ def test_hedged_fetcher_survives_failed_primary():
 class _FailingBuf:
     def __array__(self, dtype=None, copy=None):
         raise OSError("simulated hedge failure")
+
+
+def test_hedged_fetcher_adaptive_deadline():
+    """Size-aware hedging: once a link rate is observed, the deadline for a
+    transfer is FACTOR x expected_time clamped to [min_s, hedge_s]; with no
+    rate (or no size) it stays at the flat cap. A stall on a small transfer
+    under a learned-fast link hedges at the floor, not the 45 s cap."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+    from bayesian_inference_tpu.mcmc.runner import _HedgedFetcher, _nbytes
+
+    hedge = _HedgedFetcher(hedge_s=45.0)
+    hedge.min_s, hedge.factor = 5.0, 4.0
+    # no rate learned yet -> flat cap, regardless of size
+    assert hedge.deadline_for(10**9) == 45.0
+    assert hedge.deadline_for(None) == 45.0
+    # learn ~10 MB/s
+    hedge.observe(10_000_000, 1.0)
+    # 1 MB expected 0.1s -> 4*0.1+1 = 1.4 -> clamped up to the 5 s floor
+    assert hedge.deadline_for(1_000_000) == 5.0
+    # 100 MB expected 10s -> 41 s, inside [5, 45]
+    assert abs(hedge.deadline_for(100_000_000) - 41.0) < 1e-9
+    # 1 GB expected 100s -> clamped to the 45 s cap
+    assert hedge.deadline_for(10**9) == 45.0
+    # EWMA halves toward a new measurement
+    hedge.observe(30_000_000, 1.0)  # 30 MB/s sample -> ewma 20 MB/s
+    assert abs(hedge._rate_Bps - 20e6) < 1e-3
+    # degenerate samples are ignored
+    hedge.observe(0, 1.0)
+    hedge.observe(100, 0.0)
+    assert abs(hedge._rate_Bps - 20e6) < 1e-3
+    hedge.shutdown()
+
+    # end-to-end: a stalled small transfer under a learned rate is rescued
+    # at ~min_s, not the flat cap (use tiny floors to keep the test fast)
+    buf = np.arange(8.0)
+    never = threading.Event()
+    pool = ThreadPoolExecutor(max_workers=1)
+    hedge = _HedgedFetcher(hedge_s=60.0)
+    hedge.min_s, hedge.factor = 0.05, 4.0
+    hedge.observe(10_000_000, 1.0)  # fast link
+    stalled = pool.submit(never.wait, 30.0)
+    t0 = time.perf_counter()
+    out = hedge.result(stalled, buf, "adaptive", nbytes=buf.nbytes)
+    assert time.perf_counter() - t0 < 10.0  # rescued well under hedge_s
+    np.testing.assert_array_equal(out, buf)
+    assert hedge.fired == 1
+    never.set()
+    pool.shutdown()
+    hedge.shutdown()
+
+    # _nbytes: arrays and tuples of arrays (the quantized log-prob triple)
+    a = np.zeros((4, 3), np.uint16)
+    assert _nbytes(a) == 24
+    assert _nbytes((a, np.float32(0.0), np.float32(1.0))) == 24 + 4 + 4
+    assert _nbytes(object()) == 0
 
 
 def test_hedged_fetcher_deadline_on_double_hang():
