@@ -958,6 +958,11 @@ def _fetch(buf):
     return np.asarray(buf)
 
 
+#: process-wide count of hedge fires (stalled/failed primaries raced) —
+#: telemetry for the bench JSON; the per-run count is _HedgedFetcher.fired.
+HEDGES_FIRED_TOTAL = 0
+
+
 def _nbytes(buf) -> int:
     """Transfer size of a device buffer (or tuple of buffers) in bytes."""
     try:
@@ -1036,6 +1041,7 @@ class _HedgedFetcher:
         import concurrent.futures as cf
         import time as _t
 
+        global HEDGES_FIRED_TOTAL
         if self.hedge_s <= 0:
             return fut.result()
         t0 = _t.monotonic()
@@ -1046,6 +1052,7 @@ class _HedgedFetcher:
         except cf.TimeoutError:
             pending.add(fut)
             self.fired += 1
+            HEDGES_FIRED_TOTAL += 1
             logger.warning(
                 f"{label} transfer stalled for {t_hedge:.0f}s; racing a second transfer"
             )
@@ -1053,6 +1060,7 @@ class _HedgedFetcher:
             # A broken-tunnel RPC error on the primary is the same flake the
             # hedge exists for — retry once from a fresh thread before giving up.
             self.fired += 1  # not a clean rate sample either
+            HEDGES_FIRED_TOTAL += 1
             logger.warning(
                 f"{label} transfer failed ({type(e).__name__}); retrying from a fresh thread"
             )
