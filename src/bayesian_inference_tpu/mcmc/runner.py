@@ -935,10 +935,19 @@ class _ChainQuantizer:
         """(codes, lo, span) device tuple for a log-prob slab."""
         return _quantize_minmax_u16(logp)
 
+    #: (shape, dtype) pairs whose quantize programs were already first-executed
+    #: in this process — the server-side program survives, so re-warming each
+    #: run would only re-download dummy codes (~0.5 s/run at production scale).
+    _warmed: set = set()
+
     def prewarm(self, shapes) -> None:
         for shape in shapes:
+            key = (tuple(shape), str(self.np_dt))
+            if key in _ChainQuantizer._warmed:
+                continue
             np.asarray(self.quantize(jnp.zeros(shape, self.np_dt)))
             _fetch(self.quantize_logp(jnp.zeros(shape[:-1], self.np_dt)))
+            _ChainQuantizer._warmed.add(key)
 
     def dequantize(self, q: np.ndarray) -> np.ndarray:
         x = self.tmin + np.asarray(q, np.float64) * ((self.tmax - self.tmin) / 65535.0)
@@ -1272,8 +1281,15 @@ def _run_production(
 
     path = _checkpoint_path(config)
     out_dir = config.mcmc_output_dir
-    chains: list[np.ndarray] = []
-    logps: list[np.ndarray] = []
+    # Full-run output slabs, written chunk-by-chunk as downloads land: a
+    # preallocated slab replaces the end-of-run np.concatenate of all chunk
+    # arrays (~1 s of host copy on the 1-vCPU bench host, measured
+    # 2026-08-20) with per-chunk writes that overlap the remaining downloads.
+    W_, ndim_ = x0.shape
+    out_dt = np.dtype(str(x0.dtype))
+    chain_slab = np.empty((n_total, W_, ndim_), out_dt)
+    logp_slab = np.empty((n_total, W_), out_dt)
+    resume_prefix = 0
     acc_offset = np.zeros(x0.shape[0], np.int64)
     steps_done = 0
     state = None
@@ -1307,12 +1323,13 @@ def _run_production(
                 import h5py
 
                 with h5py.File(os.path.join(out_dir, "mcmc.h5"), "r") as f:
-                    chains = [f["chain"][:steps_done]]
-                    logps = [f["log_prob"][:steps_done]]
+                    chain_slab[:steps_done] = f["chain"][:steps_done]
+                    logp_slab[:steps_done] = f["log_prob"][:steps_done]
+                resume_prefix = steps_done
                 if n_have != steps_done:
                     hdf5.append_time_series(
                         out_dir, "mcmc.h5",
-                        {"chain": chains[0][:0], "log_prob": logps[0][:0]},
+                        {"chain": chain_slab[:0], "log_prob": logp_slab[:0]},
                         truncate_to=steps_done,
                     )
                 # Rewrite header + complete records once (truncated tails drop).
@@ -1384,11 +1401,15 @@ def _run_production(
         raw = hedge.result(
             f_chain, ys[0] if qc is None else qc, "chain chunk", nbytes=nb_chain
         )
-        chains.append(raw if quant is None else quant.dequantize(raw))
+        chain_slab[steps_done:steps_done + n] = (
+            raw if quant is None else quant.dequantize(raw)
+        )
         raw_lp = hedge.result(
             f_logp, ys[1] if ql is None else ql, "log-prob chunk", nbytes=nb_logp
         )
-        logps.append(raw_lp if quant is None else quant.dequantize_logp(raw_lp))
+        logp_slab[steps_done:steps_done + n] = (
+            raw_lp if quant is None else quant.dequantize_logp(raw_lp)
+        )
         t_arr = _time.perf_counter()
         if hedge.fired == fired0:
             # clean arrival: feed the adaptive hedge's link-rate estimate
@@ -1396,7 +1417,9 @@ def _run_production(
             hedge.observe(nb_chain + nb_logp, t_arr - t_prev_arr)
         t_prev_arr = t_arr
         hdf5.append_time_series(
-            out_dir, "mcmc.h5", {"chain": chains[-1], "log_prob": logps[-1]}
+            out_dir, "mcmc.h5",
+            {"chain": chain_slab[steps_done:steps_done + n],
+             "log_prob": logp_slab[steps_done:steps_done + n]},
         )
         tr = hedge.result(f_trace, ys[2], "acceptance trace", nbytes=_nbytes(ys[2]))
         _log_acceptance_cadence(config, tr, offset=steps_done, prior_sum=trace_sum)
@@ -1427,19 +1450,29 @@ def _run_production(
         ckpt_file.close()
         os.remove(path)
 
+    t_tail = _time.perf_counter()
     final_acc = acc_offset + np.asarray(state.n_accepted, np.int64)
+    t_acc = _time.perf_counter()
     # All chunks executed + downloaded (device idle): accelerator-side tau
     # spectrum + R-hat over the full chain. Device slabs are still alive in
-    # ``pending``; a resumed host prefix (chains[0] from h5) uploads once.
-    n_resumed = len(chains) - len(pending)
-    dev_pieces = chains[:n_resumed] + [ys[0] for _, ys, _qc, _ql, _ in pending]
+    # ``pending``; a resumed host prefix (the slab's h5-read head) uploads
+    # once. The chunk arrays were written straight into the preallocated
+    # output slabs during streaming — no end-of-run concatenate.
+    dev_pieces = ([chain_slab[:resume_prefix]] if resume_prefix else []) + [
+        ys[0] for _, ys, _qc, _ql, _ in pending
+    ]
+    dev_stats = _device_chain_stats(dev_pieces)
+    logger.debug(
+        "production tail: final-acc fetch %.2fs, device stats dispatch %.2fs",
+        t_acc - t_tail, _time.perf_counter() - t_acc,
+    )
     return {
         "coords": state.coords,
         "final_log_prob": state.log_prob,
         "acceptance_fraction": final_acc.astype(float) / n_total,
-        "chain": np.concatenate(chains, axis=0) if len(chains) > 1 else chains[0],
-        "log_prob": np.concatenate(logps, axis=0) if len(logps) > 1 else logps[0],
+        "chain": chain_slab,
+        "log_prob": logp_slab,
         "key": state.key,
         "streamed": True,
-        **_device_chain_stats(dev_pieces),
+        **dev_stats,
     }
