@@ -1374,6 +1374,7 @@ def _run_production(
         pending.append((n, ys, qc, ql, state))
     t_dispatch = _time.perf_counter()
     stats.warm_fft_plans(n_total)  # host idle while the device executes
+    t_fft = _time.perf_counter()
 
     # Download with a small thread pool, process/write strictly in dispatch
     # order: np.asarray blocks on chunk k while k+1.. execute, so transfers
@@ -1439,10 +1440,11 @@ def _run_production(
     pool.shutdown()
     hedge.shutdown()
     logger.debug(
-        "production breakdown: prewarm %.2fs, dispatch %.2fs, chunk "
-        "download+write+ckpt completions at %s (s from production start)",
+        "production breakdown: prewarm %.2fs, dispatch %.2fs, fft-warm %.2fs, "
+        "chunk download+write+ckpt completions at %s (s from production start)",
         t_prewarm - t_prod0,
         t_dispatch - t_prewarm,
+        t_fft - t_dispatch,
         ", ".join(f"{t - t_prod0:.2f}" for t in chunk_done),
     )
 
