@@ -1158,12 +1158,13 @@ def _production_sizes(config: MCMCConfig, checkpoint_every: int | None) -> list[
     chunks at the cadence (checkpoint-boundary alignment keeps resume
     bit-exact). Default for long runs: a RAMPED sequence
     [n/32, n/32, n/16] (32 | n) or [n/16, n/16] (16 | n) followed by n/8
-    chunks — the first chain slab starts downloading after ~3-6% of the scan
-    instead of 12.5%, so the concurrent fetch pool is busy from the start,
-    while later chunks stay coarse; only 2-3 distinct chunk-program shapes
-    total (each value-independent and persistent-cached). Falls back to the
-    uniform _production_chunk layouts when 16 doesn't divide n or the run is
-    short.
+    chunks, with the LAST n/8 chunk split into two n/16 chunks — the first
+    chain slab starts downloading after ~3-6% of the scan instead of 12.5%,
+    so the concurrent fetch pool is busy from the start, and the final
+    (only non-overlapped) download carries half the bytes; later chunks stay
+    coarse; only 2-3 distinct chunk-program shapes total (each
+    value-independent and persistent-cached). Falls back to the uniform
+    _production_chunk layouts when 16 doesn't divide n or the run is short.
     """
     n = config.n_sampling_steps
     chunk = _production_chunk(config, checkpoint_every)
@@ -1174,7 +1175,7 @@ def _production_sizes(config: MCMCConfig, checkpoint_every: int | None) -> list[
         lead = (
             [n // 32, n // 32, n // 16] if n % 32 == 0 else [n // 16, n // 16]
         )
-        return lead + [n // 8] * 7
+        return lead + [n // 8] * 6 + [n // 16, n // 16]
     sizes = [chunk] * (n // chunk)
     if n % chunk:
         sizes.append(n % chunk)

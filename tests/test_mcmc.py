@@ -399,9 +399,10 @@ def test_production_chunk_honors_logging_cadence():
 
 def test_production_sizes_ramp_and_uniform(monkeypatch):
     """Long default runs get the ramped chunk sequence (first slab downloads
-    after ~3% of the scan); explicit cadences stay uniform (checkpoint
-    boundary alignment => bit-exact resume); ramp sizes sum to the run and
-    use only 3 distinct program shapes."""
+    after ~3% of the scan; the LAST chunk is split in two so the only
+    non-overlapped download carries half the bytes); explicit cadences stay
+    uniform (checkpoint boundary alignment => bit-exact resume); ramp sizes
+    sum to the run and use only 2-3 distinct program shapes."""
     import types
 
     from bayesian_inference_tpu.mcmc.runner import _production_sizes
@@ -410,10 +411,10 @@ def test_production_sizes_ramp_and_uniform(monkeypatch):
         return types.SimpleNamespace(n_sampling_steps=n, n_logging_steps=log)
 
     ramp = _production_sizes(cfg(50000, 1000), None)  # 16 | n, 32 does not
-    assert ramp == [3125, 3125] + [6250] * 7
+    assert ramp == [3125, 3125] + [6250] * 6 + [3125, 3125]
     assert sum(ramp) == 50000 and len(set(ramp)) == 2
     ramp32 = _production_sizes(cfg(64000, 0), None)   # 32 | n: finer lead-in
-    assert ramp32 == [2000, 2000, 4000] + [8000] * 7
+    assert ramp32 == [2000, 2000, 4000] + [8000] * 6 + [4000, 4000]
     assert sum(ramp32) == 64000 and len(set(ramp32)) == 3
     # explicit checkpoint cadence: uniform
     assert _production_sizes(cfg(50000, 1000), 12500) == [12500] * 4
